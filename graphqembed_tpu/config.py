@@ -1,0 +1,80 @@
+"""Single frozen config for a run (SURVEY.md §6 "Config / flag system").
+
+The reference scattered hyperparameters across per-script argparse flags
+[R: netquery/bio/train.py (conf=H)]; here one dataclass is the source of truth,
+serialized into the run directory so every run is reproducible from its config.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+from typing import Any
+
+# The 7 conjunctive query structures, modern names (BASELINE.json "configs").
+# Reference names [R: netquery/graph.py (conf=H)]:
+#   1-chain→1p, 2-chain→2p, 3-chain→3p, 2-inter→2i, 3-inter→3i,
+#   3-inter_chain→pi, 3-chain_inter→ip  (SURVEY.md §2.2).
+STRUCTURES = ("1p", "2p", "3p", "2i", "3i", "ip", "pi")
+PATH_STRUCTURES = ("1p", "2p", "3p")
+INTERSECT_STRUCTURES = ("2i", "3i", "ip", "pi")  # structures with an intersection node
+
+PROJECTION_KINDS = ("transe", "distmult", "bilinear")
+INTERSECTION_KINDS = ("min", "mean")
+
+
+@dataclasses.dataclass(frozen=True)
+class GQEConfig:
+    # --- model (SURVEY.md §2.3) ---
+    embed_dim: int = 128
+    projection: str = "bilinear"     # --decoder in the reference
+    intersection: str = "min"        # SetIntersection aggregation Φ
+    learned_intersection: bool = True  # SetIntersection vs SimpleSetIntersection
+    compute_dtype: str = "float32"   # "bfloat16" for perf runs; fp32 for parity
+
+    # --- training protocol (SURVEY.md §2.5) ---
+    lr: float = 0.01
+    batch_size: int = 512
+    max_iter: int = 100_000_000
+    max_burn_in: int = 1_000_000
+    val_every: int = 5000
+    tol: float = 1e-6                # convergence tolerance for check_conv
+    conv_window: int = 100           # window of recent losses for convergence
+    margin: float = 1.0
+    path_weight: float = 0.01        # loss weight for 2p/3p batches
+    inter_weight: float = 0.005      # loss weight for 2i/3i/ip/pi batches
+    hard_neg_alternate: bool = True  # alternate plain/hard negatives for i-structures
+    seed: int = 0
+
+    # --- eval (SURVEY.md §2.6) ---
+    eval_batch_size: int = 1024
+    max_eval_negs: int = 512         # padding cap for full_neg APR eval
+
+    # --- parallel (SURVEY.md §3 parallelism inventory) ---
+    mesh_shape: tuple[int, ...] = (1,)
+    mesh_axes: tuple[str, ...] = ("data",)
+    shard_table: bool = True         # row-shard the packed embedding table
+    gather_capacity_factor: float = 2.0  # all-to-all per-owner capacity slack
+
+    # --- kernels ---
+    use_pallas: bool = False         # Pallas kernels vs pure-jnp reference ops
+
+    def __post_init__(self):
+        assert self.projection in PROJECTION_KINDS, self.projection
+        assert self.intersection in INTERSECTION_KINDS, self.intersection
+        assert self.compute_dtype in ("float32", "bfloat16")
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "GQEConfig":
+        d: dict[str, Any] = json.loads(s)
+        for k in ("mesh_shape", "mesh_axes"):
+            if k in d:
+                d[k] = tuple(d[k])
+        return cls(**d)
+
+    def run_hash(self) -> str:
+        return hashlib.sha256(self.to_json().encode()).hexdigest()[:12]
