@@ -1,0 +1,126 @@
+"""Benchmark harness (BASELINE.json metric: "queries/sec/chip (train) on bio
+2p/3i queries"). Runs on whatever jax.devices() provides (the real TPU chip
+under the driver). Prints ONE JSON line.
+
+Baseline: the reference published no throughput numbers (BASELINE.md), so
+vs_baseline is measured against the in-tree PyTorch oracle (the operational
+stand-in for the reference implementation, SURVEY.md §7) running the same
+workload with torch-2.13-cpu + Adam — i.e. "how much faster is the TPU-native
+framework than the reference-style eager implementation on this host".
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def build_workload(scale=40.0, n_queries=1500, batch_size=512, embed_dim=128,
+                   seed=0):
+    from graphqembed_tpu.config import GQEConfig
+    from graphqembed_tpu.data.sampling import QuerySampler
+    from graphqembed_tpu.graph.synthetic import synthetic_graph
+    from graphqembed_tpu.training import TrainData
+
+    graph = synthetic_graph(seed=seed, scale=scale, avg_degree=10.0)
+    cfg = GQEConfig(embed_dim=embed_dim, projection="bilinear",
+                    intersection="min", batch_size=batch_size, lr=0.01)
+    s = QuerySampler(graph, np.random.default_rng(seed), max_negs=30)
+    queries = (s.sample_many("2p", n_queries) + s.sample_many("3i", n_queries))
+    data = TrainData(graph.schema, queries, batch_size, seed=seed)
+    return graph, cfg, data
+
+
+def bench_jax(graph, cfg, data, n_steps=60, warmup=3) -> float:
+    import jax
+    import optax
+
+    from graphqembed_tpu.models.params import init_params
+    from graphqembed_tpu.training import make_train_step
+
+    params = init_params(cfg, graph.schema, jax.random.key(0))
+    optimizer = optax.adam(cfg.lr)
+    opt_state = optimizer.init(params)
+    step = make_train_step(cfg, optimizer)
+
+    batches = [(s, data.sample_batch(s)) for s in ("2p", "3i") for _ in range(8)]
+    for i in range(warmup):
+        st, (rels, anchors, targets, negs, mask, im) = batches[i % len(batches)]
+        params, opt_state, loss = step(params, opt_state, st, rels, anchors,
+                                       targets, negs, mask, im, np.float32(1.0))
+    jax.block_until_ready(params)
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        st, (rels, anchors, targets, negs, mask, im) = batches[i % len(batches)]
+        params, opt_state, loss = step(params, opt_state, st, rels, anchors,
+                                       targets, negs, mask, im, np.float32(1.0))
+    jax.block_until_ready(params)
+    dt = time.perf_counter() - t0
+    return n_steps * cfg.batch_size / dt
+
+
+def bench_oracle(graph, cfg, data, n_steps=8, warmup=1) -> float:
+    """Reference-style eager PyTorch training step (same semantics, same
+    batch shapes) with dense Adam — the hot loop of SURVEY.md §4.1."""
+    import torch
+
+    from graphqembed_tpu.oracle import torch_gqe
+
+    d = cfg.embed_dim
+    schema = graph.schema
+    g = torch.Generator().manual_seed(0)
+
+    def leaf(*shape, scale=1.0):
+        return (torch.randn(*shape, generator=g, dtype=torch.float32) * scale
+                ).requires_grad_(True)
+
+    params = {
+        "table": leaf(schema.n_nodes, d),
+        "proj": {"W": leaf(schema.n_relations, d, d, scale=1.0 / d**0.5)},
+        "inter": {
+            "pre": leaf(len(schema.modes), d, d, scale=1.0 / d**0.5),
+            "post": leaf(len(schema.modes), d, d, scale=1.0 / d**0.5),
+        },
+    }
+    leaves = [params["table"], params["proj"]["W"], params["inter"]["pre"],
+              params["inter"]["post"]]
+    opt = torch.optim.Adam(leaves, lr=cfg.lr)
+
+    batches = [(s, data.sample_batch(s)) for s in ("2p", "3i") for _ in range(4)]
+
+    def one(i):
+        st, (rels, anchors, targets, negs, mask, im) = batches[i % len(batches)]
+        opt.zero_grad()
+        loss = torch_gqe.margin_loss(cfg, params, st, anchors, rels, int(im),
+                                     targets, negs, mask)
+        loss.backward()
+        opt.step()
+
+    for i in range(warmup):
+        one(i)
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        one(i)
+    dt = time.perf_counter() - t0
+    return n_steps * cfg.batch_size / dt
+
+
+def main():
+    graph, cfg, data = build_workload()
+    jax_qps = bench_jax(graph, cfg, data)
+    oracle_qps = bench_oracle(graph, cfg, data)
+    print(json.dumps({
+        "metric": "train queries/sec/chip, bio-synth 2p+3i, bilinear d=128 B=512",
+        "value": round(jax_qps, 1),
+        "unit": "queries/s",
+        "vs_baseline": round(jax_qps / oracle_qps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

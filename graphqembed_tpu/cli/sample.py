@@ -1,0 +1,79 @@
+"""Query-sampling CLI — the reference's per-dataset sampling scripts
+[R: netquery/bio sampling scripts (conf=L), SURVEY.md §4.3]: drives the
+fork-parallel sampler over a graph (synthetic or imported) and writes native
+query sets (train / val / test with clean-query filtering and exhaustive
+negatives for the test full_neg split)."""
+
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("gqe-sample")
+    p.add_argument("--data_dir", type=str, default=None,
+                   help="dir with reference graph_data.pkl; default: synthetic")
+    p.add_argument("--out_dir", type=str, required=True)
+    p.add_argument("--synthetic_scale", type=float, default=1.0)
+    p.add_argument("--n_train", type=int, default=2000, help="per structure")
+    p.add_argument("--n_val", type=int, default=200)
+    p.add_argument("--n_test", type=int, default=200)
+    p.add_argument("--holdout_frac", type=float, default=0.1)
+    p.add_argument("--max_negs", type=int, default=100)
+    p.add_argument("--n_workers", type=int, default=4)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--structures", type=str, default="all")
+    args = p.parse_args(argv)
+
+    from graphqembed_tpu.config import STRUCTURES
+    from graphqembed_tpu.data.loader import (
+        export_reference_pickle,
+        import_reference_graph,
+        save_queries,
+    )
+    from graphqembed_tpu.data.sampling import QuerySampler, parallel_sample
+    from graphqembed_tpu.graph.synthetic import holdout_edges, synthetic_graph
+
+    structures = (list(STRUCTURES) if args.structures == "all"
+                  else args.structures.split(","))
+    if args.data_dir:
+        graph = import_reference_graph(Path(args.data_dir) / "graph_data.pkl")
+    else:
+        graph = synthetic_graph(seed=args.seed, scale=args.synthetic_scale,
+                                avg_degree=8.0)
+    train_graph, held = holdout_edges(graph, args.holdout_frac, args.seed)
+    out = Path(args.out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    export_reference_pickle(train_graph, out / "graph_data.pkl")
+
+    t0 = time.perf_counter()
+    train, val, test = [], [], []
+    for st in structures:
+        # train/val: sampled on the TRAIN graph (no leakage of held-out edges)
+        train += parallel_sample(train_graph, st, args.n_train,
+                                 n_workers=args.n_workers, seed=args.seed,
+                                 max_negs=args.max_negs)
+        sv = QuerySampler(train_graph, np.random.default_rng(args.seed + 1),
+                          max_negs=args.max_negs)
+        val += sv.sample_many(st, args.n_val)
+        # test: clean queries on the FULL graph (need ≥1 held-out edge),
+        # exhaustive negatives for the full_neg/APR protocol
+        stest = QuerySampler(graph, np.random.default_rng(args.seed + 2),
+                             max_negs=args.max_negs)
+        test += stest.sample_many(st, args.n_test, exhaustive_negs=True,
+                                  train_graph=train_graph)
+        print(f"{st}: sampled (t={time.perf_counter() - t0:.1f}s)")
+    save_queries(out / "train_queries", graph.schema, train)
+    save_queries(out / "val_queries", graph.schema, val)
+    save_queries(out / "test_queries", graph.schema, test)
+    print(f"wrote {len(train)} train / {len(val)} val / {len(test)} test "
+          f"queries to {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

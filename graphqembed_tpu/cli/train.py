@@ -1,0 +1,143 @@
+"""Training CLI — the reference's per-dataset train scripts, unified
+[R: netquery/bio/train.py, netquery/reddit/train.py (conf=H), SURVEY.md §1 L6].
+
+Reference flags preserved (--embed_dim --data_dir --lr --batch_size --max_iter
+--max_burn_in --val_every --tol --decoder --inter_decoder ...); dataset comes
+from --data_dir (native or reference-pickle format) or --synthetic for the
+offline generator. The run config is frozen and serialized into --model_dir
+so every run is reproducible from its saved config (SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+from pathlib import Path
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("gqe-train")
+    p.add_argument("--data_dir", type=str, default=None,
+                   help="dir with graph + query sets (native format), or a "
+                        "reference graph_data.pkl directory")
+    p.add_argument("--synthetic", action="store_true",
+                   help="use the deterministic synthetic bio-schema KG")
+    p.add_argument("--synthetic_scale", type=float, default=1.0)
+    p.add_argument("--n_train_queries", type=int, default=2000,
+                   help="per structure, when sampling on the fly (synthetic)")
+    p.add_argument("--n_val_queries", type=int, default=200)
+    p.add_argument("--embed_dim", type=int, default=128)
+    p.add_argument("--decoder", type=str, default="bilinear",
+                   choices=["bilinear", "transe", "distmult"])
+    p.add_argument("--inter_decoder", type=str, default="min",
+                   choices=["min", "mean"])
+    p.add_argument("--simple_inter", action="store_true",
+                   help="SimpleSetIntersection (no learned transforms)")
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--batch_size", type=int, default=512)
+    p.add_argument("--max_iter", type=int, default=10000)
+    p.add_argument("--max_burn_in", type=int, default=2000)
+    p.add_argument("--val_every", type=int, default=1000)
+    p.add_argument("--tol", type=float, default=1e-6)
+    p.add_argument("--path_weight", type=float, default=0.01)
+    p.add_argument("--inter_weight", type=float, default=0.005)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--model_dir", type=str, default="runs/latest")
+    p.add_argument("--log_dir", type=str, default=None)
+    p.add_argument("--cpu", action="store_true", help="force JAX_PLATFORMS=cpu")
+    return p
+
+
+def load_dataset(args):
+    from graphqembed_tpu.data.loader import import_reference_graph, load_queries
+    from graphqembed_tpu.data.sampling import QuerySampler
+    from graphqembed_tpu.graph.synthetic import synthetic_graph
+    from graphqembed_tpu.config import STRUCTURES
+
+    if args.synthetic or args.data_dir is None:
+        graph = synthetic_graph(seed=args.seed, scale=args.synthetic_scale,
+                                avg_degree=8.0)
+        s = QuerySampler(graph, np.random.default_rng(args.seed), max_negs=50)
+        train, val = [], []
+        for st in STRUCTURES:
+            qs = s.sample_many(st, args.n_train_queries + args.n_val_queries)
+            train += qs[:args.n_train_queries]
+            val += qs[args.n_train_queries:]
+        return graph, train, val
+    d = Path(args.data_dir)
+    graph = import_reference_graph(d / "graph_data.pkl")
+    train = load_queries(d / "train_queries")
+    val = load_queries(d / "val_queries") if (d / "val_queries").exists() else None
+    return graph, train, val
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.cpu:
+        import os
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+
+    from graphqembed_tpu.config import GQEConfig
+    from graphqembed_tpu.models.params import init_params
+    from graphqembed_tpu.training import eval_apr, eval_auc, run_train
+    from graphqembed_tpu.training.checkpoint import save_checkpoint
+
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)s %(message)s",
+        filename=args.log_dir and str(Path(args.log_dir) / "train.log"),
+    )
+    cfg = GQEConfig(
+        embed_dim=args.embed_dim,
+        projection=args.decoder,
+        intersection=args.inter_decoder,
+        learned_intersection=not args.simple_inter,
+        lr=args.lr,
+        batch_size=args.batch_size,
+        max_iter=args.max_iter,
+        max_burn_in=args.max_burn_in,
+        val_every=args.val_every,
+        tol=args.tol,
+        path_weight=args.path_weight,
+        inter_weight=args.inter_weight,
+        seed=args.seed,
+    )
+    model_dir = Path(args.model_dir)
+    model_dir.mkdir(parents=True, exist_ok=True)
+    (model_dir / "config.json").write_text(cfg.to_json())
+
+    graph, train, val = load_dataset(args)
+    logging.info("dataset: %d nodes, %d edges, %d train / %d val queries",
+                 graph.schema.n_nodes, graph.num_edges(), len(train),
+                 len(val or []))
+    params = init_params(cfg, graph.schema, jax.random.key(cfg.seed))
+    res = run_train(cfg, graph.schema, params, train, val_queries=val)
+
+    metrics = {
+        "steps": res.steps,
+        "burn_in_steps": res.burn_in_steps,
+        "best_val_auc": res.best_val_auc,
+        "queries_per_sec": res.queries_per_sec,
+    }
+    if val:
+        metrics["final_auc"] = eval_auc(cfg, res.best_params, graph.schema, val,
+                                        seed=cfg.seed)
+        metrics["final_auc_hard"] = eval_auc(cfg, res.best_params, graph.schema,
+                                             val, seed=cfg.seed, hard=True)
+        metrics["final_apr"] = eval_apr(cfg, res.best_params, graph.schema, val,
+                                        max_negs=cfg.max_eval_negs)
+    (model_dir / "metrics.json").write_text(json.dumps(metrics, indent=2))
+    save_checkpoint(model_dir / "best", res.best_params, step=res.steps)
+    logging.info("done: %s", json.dumps(metrics))
+    print(json.dumps(metrics))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,159 @@
+"""GQE model: per-structure query embedding, scoring, margin loss (pure JAX).
+
+Semantics (the parity contract, SURVEY.md §2.3–2.4, pinned by the oracle):
+- Node embeddings are L2-normalized AT LOOKUP (inside the encoder, not the
+  scorer) [R: netquery/encoders.py::DirectEncoder (conf=H)].
+- Relation projection P_r ∈ {TransE add, DistMult hadamard, bilinear matmul}
+  [R: netquery/decoders.py (conf=H)]. Relations arrive in APPLICATION order
+  (anchor→target; see data/queries.py) — equivalent to the reference applying
+  reversed relations to its target-outward storage.
+- Intersection: h_i = relu(z_i @ pre_m); Φ = elementwise min (or mean);
+  out = Φ @ post_m — deep-set SetIntersection with per-mode transforms
+  [R: netquery/decoders.py::SetIntersection (conf=H)]. The un-learned
+  SimpleSetIntersection is Φ alone.
+- Score = cosine similarity of query embedding and candidate embedding.
+- margin_loss = mean over valid rows of max(0, margin − s_pos + s_neg), one
+  sampled negative per query [R: netquery/model.py::margin_loss (conf=H)].
+
+The query-DAG "compiler" is 7 pure functions sharing these primitives —
+`structure` is a static (hashable) argument, so jit specializes one XLA
+program per structure with zero dynamic dispatch inside (SURVEY.md §8).
+
+Batches are per-formula, so `rels` is an int32[R] array shared by every row:
+each hop's operator parameters are gathered ONCE and the projection is a
+single [B,d]@[d,d] MXU matmul instead of B vector-matrix products.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from graphqembed_tpu.config import GQEConfig
+
+Params = dict
+
+
+def _precision(cfg: GQEConfig):
+    """fp32 mode must be bit-faithful to the oracle ON TPU too: the MXU's
+    DEFAULT precision truncates f32 matmul inputs to bf16, which breaks
+    activation-parity (~1e-3 rel error). HIGHEST keeps full f32. bf16 perf
+    mode keeps DEFAULT."""
+    return (jax.lax.Precision.HIGHEST if cfg.compute_dtype == "float32"
+            else jax.lax.Precision.DEFAULT)
+
+
+def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-24) -> jnp.ndarray:
+    """Safe L2 normalize: sqrt(max(Σx², eps)) instead of ‖x‖ because the
+    gradient of linalg.norm at exactly 0 is NaN — and min-over-ReLU
+    intersection outputs DO hit exactly 0 (all-negative pre-activations in
+    every branch), which otherwise NaN-poisons the whole table after one
+    backward pass. Forward values are identical for any nonzero x."""
+    sq = jnp.sum(x * x, axis=axis, keepdims=True)
+    return x / jnp.sqrt(jnp.maximum(sq, eps))
+
+
+def encode(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    """Embedding gather + L2 norm: ids [...]-> [..., d]."""
+    return l2_normalize(jnp.take(table, ids, axis=0))
+
+
+def project(cfg: GQEConfig, params: Params, x: jnp.ndarray,
+            rel_id: jnp.ndarray) -> jnp.ndarray:
+    """Apply P_rel to x [B, d]; rel_id is a scalar (batch constant)."""
+    p = params["proj"]
+    if cfg.projection == "transe":
+        return x + p["r"][rel_id]
+    if cfg.projection == "distmult":
+        return x * p["w"][rel_id]
+    return jnp.dot(x, p["W"][rel_id], preferred_element_type=jnp.float32,
+                   precision=_precision(cfg))
+
+
+def intersect(cfg: GQEConfig, params: Params, zs: list[jnp.ndarray],
+              mode_id: jnp.ndarray) -> jnp.ndarray:
+    """Deep-set intersection of branch embeddings zs (each [B, d])."""
+    if cfg.learned_intersection:
+        pre = params["inter"]["pre"][mode_id]
+        hs = [jax.nn.relu(jnp.dot(z, pre, preferred_element_type=jnp.float32,
+                              precision=_precision(cfg)))
+              for z in zs]
+    else:
+        hs = zs
+    stacked = jnp.stack(hs)  # [k, B, d]
+    agg = jnp.min(stacked, axis=0) if cfg.intersection == "min" else jnp.mean(stacked, axis=0)
+    if cfg.learned_intersection:
+        post = params["inter"]["post"][mode_id]
+        return jnp.dot(agg, post, preferred_element_type=jnp.float32,
+                       precision=_precision(cfg))
+    return agg
+
+
+def embed_query(cfg: GQEConfig, params: Params, structure: str,
+                anchors: jnp.ndarray, rels: jnp.ndarray,
+                inter_mode_id: jnp.ndarray) -> jnp.ndarray:
+    """Query embedding [B, d] for one formula batch.
+
+    anchors int32[B, A]; rels int32[R] (application order); inter_mode_id
+    scalar (−1 for chains, ignored).
+    """
+    table = params["table"]
+    e = lambda i: encode(table, anchors[:, i])
+    P = functools.partial(project, cfg, params)
+    if structure == "1p":
+        return P(e(0), rels[0])
+    if structure == "2p":
+        return P(P(e(0), rels[0]), rels[1])
+    if structure == "3p":
+        return P(P(P(e(0), rels[0]), rels[1]), rels[2])
+    if structure == "2i":
+        return intersect(cfg, params, [P(e(0), rels[0]), P(e(1), rels[1])],
+                         inter_mode_id)
+    if structure == "3i":
+        return intersect(cfg, params,
+                         [P(e(0), rels[0]), P(e(1), rels[1]), P(e(2), rels[2])],
+                         inter_mode_id)
+    if structure == "pi":
+        chain = P(P(e(0), rels[0]), rels[1])
+        edge = P(e(1), rels[2])
+        return intersect(cfg, params, [chain, edge], inter_mode_id)
+    if structure == "ip":
+        v = intersect(cfg, params, [P(e(0), rels[0]), P(e(1), rels[1])],
+                      inter_mode_id)
+        return P(v, rels[2])
+    raise ValueError(structure)
+
+
+def score(q: jnp.ndarray, cand_embeds: jnp.ndarray) -> jnp.ndarray:
+    """Cosine scores. q [B, d]; cand_embeds [B, d] -> [B], or [B, K, d] -> [B, K].
+    cand_embeds are unit-norm (from encode); q is normalized here."""
+    qn = l2_normalize(q)
+    if cand_embeds.ndim == 2:
+        return jnp.sum(qn * cand_embeds, axis=-1)
+    return jnp.einsum("bd,bkd->bk", qn, cand_embeds)
+
+
+def forward_scores(cfg: GQEConfig, params: Params, structure: str,
+                   anchors: jnp.ndarray, rels: jnp.ndarray,
+                   inter_mode_id: jnp.ndarray,
+                   candidates: jnp.ndarray) -> jnp.ndarray:
+    """Scores of candidate nodes: candidates int32[B] -> [B] or [B,K] -> [B,K]
+    — the reference's QueryEncoderDecoder.forward [R: netquery/model.py (conf=H)]."""
+    q = embed_query(cfg, params, structure, anchors, rels, inter_mode_id)
+    return score(q, encode(params["table"], candidates))
+
+
+def margin_loss(cfg: GQEConfig, params: Params, structure: str,
+                anchors: jnp.ndarray, rels: jnp.ndarray,
+                inter_mode_id: jnp.ndarray, targets: jnp.ndarray,
+                negs: jnp.ndarray, row_mask: jnp.ndarray) -> jnp.ndarray:
+    """Mean max-margin loss over valid rows; negs int32[B] (one per query)."""
+    q = embed_query(cfg, params, structure, anchors, rels, inter_mode_id)
+    table = params["table"]
+    pos = score(q, encode(table, targets))
+    neg = score(q, encode(table, negs))
+    per_row = jax.nn.relu(cfg.margin - pos + neg)
+    w = row_mask.astype(per_row.dtype)
+    return jnp.sum(per_row * w) / jnp.maximum(jnp.sum(w), 1.0)

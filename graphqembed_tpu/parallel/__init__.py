@@ -1,0 +1,10 @@
+from graphqembed_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    make_mesh,
+    pad_table_rows,
+    param_shardings,
+    replicated,
+    shard_params,
+    table_sharding,
+)
+from graphqembed_tpu.parallel.train_step import make_sharded_train_step  # noqa: F401

@@ -1,0 +1,70 @@
+"""Device mesh helpers (SURVEY.md §3 parallelism inventory).
+
+The reference is single-process/single-device [R: no torch.distributed
+anywhere (conf=H)]; every distributed capability here is new TPU-native
+design: a `jax.sharding.Mesh` with axes ('data',) — data parallelism over the
+batch dim AND row-sharding of the packed embedding table over the same axis
+(the EP-analog of SURVEY.md §3: nodes ≈ experts). Collectives are inserted by
+XLA (GSPMD) from NamedSharding annotations and ride ICI on real slices;
+tests/dry-runs use a virtual CPU mesh (xla_force_host_platform_device_count).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    assert n <= len(devs), (n, len(devs))
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+def table_sharding(mesh: Mesh) -> NamedSharding:
+    """Row-shard the packed [N, d] embedding table across the mesh."""
+    return NamedSharding(mesh, P("data", None))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard the leading (batch) dim; replicate the rest."""
+    return NamedSharding(mesh, P(*(("data",) + (None,) * (ndim - 1))))
+
+
+def param_shardings(params: dict, mesh: Mesh) -> dict:
+    """table -> row-sharded; all operator params -> replicated (they are tiny:
+    R·d² and M·d² at d=128 is a few MB)."""
+    ts, rs = table_sharding(mesh), replicated(mesh)
+    return jax.tree.map_with_path(
+        lambda path, _: ts if path and getattr(path[0], "key", None) == "table" else rs,
+        params,
+    )
+
+
+def pad_table_rows(params: dict, n_shards: int) -> tuple[dict, int]:
+    """Pad table rows to a multiple of n_shards (NamedSharding needs even
+    shards). Padded rows are never referenced by any id and get zero grads.
+    Returns (params, n_padded_rows)."""
+    import jax.numpy as jnp
+
+    n = params["table"].shape[0]
+    pad = (-n) % n_shards
+    if pad:
+        params = dict(params)
+        params["table"] = jnp.concatenate(
+            [params["table"],
+             jnp.zeros((pad, params["table"].shape[1]),
+                       params["table"].dtype)], axis=0)
+    return params, pad
+
+
+def shard_params(params: dict, mesh: Mesh) -> dict:
+    params, _ = pad_table_rows(params, mesh.devices.size)
+    return jax.device_put(params, param_shardings(params, mesh))

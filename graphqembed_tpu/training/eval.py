@@ -1,0 +1,137 @@
+"""Evaluation: AUC and percentile-rank (APR) computed IN JAX (SURVEY.md §4.2:
+no GPU→CPU→sklearn round-trip; rank-based AUC = Mann-Whitney U), with numpy /
+sklearn cross-checks in tests.
+
+Protocol fidelity [R: netquery/utils.py::eval_auc_queries, eval_perc_queries
+(conf=H), SURVEY.md §2.6]:
+- AUC: per formula, score positives and 1-sampled-negative-per-positive
+  ("one_neg"); AUC over the 2B scores; macro-average over formulas weighted by
+  query count within a structure. Hard-negative AUC reported separately for
+  intersection structures.
+- APR: for "full_neg" queries (exhaustive type-matched negatives), the
+  percentile of the positive's score among its negatives (ties count half),
+  averaged over queries.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graphqembed_tpu.config import GQEConfig, INTERSECT_STRUCTURES
+from graphqembed_tpu.data.queries import Query, QueryBatch, group_by_formula, make_batch
+from graphqembed_tpu.graph.schema import Schema
+from graphqembed_tpu.models import gqe
+
+
+def auc_from_scores(pos: jnp.ndarray, neg: jnp.ndarray,
+                    pos_mask: jnp.ndarray, neg_mask: jnp.ndarray) -> jnp.ndarray:
+    """Masked pairwise Mann-Whitney AUC with tie correction:
+    AUC = Σ_{i,j} m_i m_j ([p_i > n_j] + ½[p_i = n_j]) / Σ m_i m_j."""
+    pm = pos_mask.astype(jnp.float32)
+    nm = neg_mask.astype(jnp.float32)
+    gt = (pos[:, None] > neg[None, :]).astype(jnp.float32)
+    eq = (pos[:, None] == neg[None, :]).astype(jnp.float32)
+    w = pm[:, None] * nm[None, :]
+    num = jnp.sum(w * (gt + 0.5 * eq))
+    den = jnp.maximum(jnp.sum(w), 1.0)
+    return num / den
+
+
+def percentile_ranks(pos: jnp.ndarray, negs: jnp.ndarray,
+                     neg_mask: jnp.ndarray) -> jnp.ndarray:
+    """Per-query percentile of pos among its negatives, ties count half.
+    pos [B]; negs [B, K]; neg_mask [B, K] -> [B] (rows with 0 valid negs -> 0.5)."""
+    m = neg_mask.astype(jnp.float32)
+    lt = (negs < pos[:, None]).astype(jnp.float32)
+    eq = (negs == pos[:, None]).astype(jnp.float32)
+    num = jnp.sum(m * (lt + 0.5 * eq), axis=1)
+    den = jnp.sum(m, axis=1)
+    return jnp.where(den > 0, num / jnp.maximum(den, 1.0), 0.5)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "structure"))
+def _formula_scores(cfg: GQEConfig, params, structure: str, anchors, rels,
+                    inter_mode_id, targets, negs):
+    """pos [B], neg [B, K] scores for one formula batch."""
+    q = gqe.embed_query(cfg, params, structure, anchors, rels, inter_mode_id)
+    table = params["table"]
+    pos = gqe.score(q, gqe.encode(table, targets))
+    neg = gqe.score(q, gqe.encode(table, negs))
+    return pos, neg
+
+
+def _batches(schema: Schema, by_formula: dict, batch_size: int, neg_width: int,
+             hard_neg_width: int, rng: np.random.Generator | None):
+    for formula, qs in sorted(by_formula.items(), key=lambda kv: kv[0].serialize()):
+        for i in range(0, len(qs), batch_size):
+            chunk = qs[i:i + batch_size]
+            yield formula, make_batch(
+                schema, chunk, batch_size=batch_size, neg_width=neg_width,
+                hard_neg_width=hard_neg_width, rng=rng)
+
+
+def eval_auc(cfg: GQEConfig, params, schema: Schema, queries: list[Query],
+             seed: int = 0, hard: bool = False) -> dict[str, float]:
+    """Macro AUC per structure (query-count weighted over formulas) using one
+    sampled negative per positive. hard=True scores hard negatives instead
+    (intersection structures only). Returns {structure: auc, 'macro': mean}."""
+    rng = np.random.default_rng(seed)
+    by_struct: dict[str, dict] = {}
+    for f, qs in group_by_formula(queries).items():
+        by_struct.setdefault(f.structure, {})[f] = qs
+    out: dict[str, float] = {}
+    for structure, by_formula in sorted(by_struct.items()):
+        if hard and structure not in INTERSECT_STRUCTURES:
+            continue
+        num = den = 0.0
+        for formula, b in _batches(schema, by_formula, cfg.eval_batch_size,
+                                   neg_width=1,
+                                   hard_neg_width=1 if hard else 0, rng=rng):
+            negs = b.hard_negs if hard else b.negs
+            nmask = b.hard_neg_mask if hard else b.neg_mask
+            pos, neg = _formula_scores(cfg, params, structure, b.anchors,
+                                       b.rels, np.int32(b.inter_mode_id),
+                                       b.targets, negs)
+            auc = auc_from_scores(pos, neg[:, 0],
+                                  jnp.asarray(b.row_mask),
+                                  jnp.asarray(b.row_mask & nmask[:, 0]))
+            n = b.n_valid
+            num += float(auc) * n
+            den += n
+        if den:
+            out[structure] = num / den
+    if out:
+        out["macro"] = float(np.mean([v for k, v in out.items() if k != "macro"]))
+    return out
+
+
+def eval_apr(cfg: GQEConfig, params, schema: Schema, queries: list[Query],
+             max_negs: int | None = None) -> dict[str, float]:
+    """Mean percentile rank per structure over full_neg queries (negatives
+    truncated to max_negs if given — real bio-scale modes need a cap)."""
+    by_struct: dict[str, dict] = {}
+    for f, qs in group_by_formula(queries).items():
+        by_struct.setdefault(f.structure, {})[f] = qs
+    width = max_negs or max(
+        (len(q.neg_samples) for q in queries), default=1)
+    out: dict[str, float] = {}
+    for structure, by_formula in sorted(by_struct.items()):
+        num = den = 0.0
+        for formula, b in _batches(schema, by_formula, cfg.eval_batch_size,
+                                   neg_width=width, hard_neg_width=0, rng=None):
+            pos, neg = _formula_scores(cfg, params, structure, b.anchors,
+                                       b.rels, np.int32(b.inter_mode_id),
+                                       b.targets, b.negs)
+            pr = percentile_ranks(pos, neg, jnp.asarray(b.neg_mask))
+            m = b.row_mask.astype(np.float32)
+            num += float(jnp.sum(pr * m))
+            den += float(m.sum())
+        if den:
+            out[structure] = num / den
+    if out:
+        out["macro"] = float(np.mean([v for k, v in out.items() if k != "macro"]))
+    return out

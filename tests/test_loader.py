@@ -1,0 +1,69 @@
+"""Data IO round-trips: reference-pickle export→import reproduces the graph;
+native query-set save/load reproduces queries; direction flip is involutive
+on chains."""
+
+import numpy as np
+
+from graphqembed_tpu.data.loader import (
+    export_reference_pickle,
+    import_reference_graph,
+    load_queries,
+    reference_rels_to_application_order,
+    save_queries,
+)
+from graphqembed_tpu.data.sampling import QuerySampler
+from graphqembed_tpu.graph.schema import reverse_relation
+
+
+def test_reference_pickle_roundtrip(graph, tmp_path):
+    p = tmp_path / "graph_data.pkl"
+    export_reference_pickle(graph, p)
+    g2 = import_reference_graph(p)
+    assert g2.schema == graph.schema
+    assert g2.num_edges() == graph.num_edges()
+    for rel in graph.schema.relations:
+        assert set(g2.adj[rel]) == set(graph.adj[rel])
+        for k in list(graph.adj[rel])[:5]:
+            np.testing.assert_array_equal(np.sort(g2.adj[rel][k]),
+                                          np.sort(graph.adj[rel][k]))
+
+
+def test_query_set_roundtrip(graph, tmp_path):
+    s = QuerySampler(graph, np.random.default_rng(0), max_negs=15)
+    qs = []
+    for st in ("1p", "2p", "2i", "ip", "pi"):
+        qs += s.sample_many(st, 10)
+    save_queries(tmp_path / "qs", graph.schema, qs)
+    back = load_queries(tmp_path / "qs")
+    assert len(back) == len(qs)
+    orig = {q.dedup_key(): q for q in qs}
+    for q in back:
+        o = orig[q.dedup_key()]
+        np.testing.assert_array_equal(np.sort(q.neg_samples), np.sort(o.neg_samples))
+        if o.hard_neg_samples is not None:
+            np.testing.assert_array_equal(np.sort(q.hard_neg_samples),
+                                          np.sort(o.hard_neg_samples))
+
+
+def test_direction_flip_chain(graph):
+    s = QuerySampler(graph, np.random.default_rng(1))
+    q = s.sample_many("3p", 1)[0]
+    # target-outward reference form: reversed relations, target-first order
+    ref_form = tuple(reverse_relation(r) for r in reversed(q.formula.rels))
+    back = reference_rels_to_application_order("3p", ref_form)
+    assert back == q.formula.rels
+
+
+def test_direction_flip_intersections(graph):
+    s = QuerySampler(graph, np.random.default_rng(2))
+    for st in ("2i", "3i", "ip", "pi"):
+        q = s.sample_many(st, 1)[0]
+        r = q.formula.rels
+        if st in ("2i", "3i"):
+            ref_form = tuple(reverse_relation(x) for x in r)
+        elif st == "pi":
+            ref_form = (reverse_relation(r[1]), reverse_relation(r[0]),
+                        reverse_relation(r[2]))
+        else:  # ip
+            ref_form = tuple(reverse_relation(x) for x in r)
+        assert reference_rels_to_application_order(st, ref_form) == r

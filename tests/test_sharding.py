@@ -1,0 +1,67 @@
+"""Multi-device sharding tests on the simulated 8-device CPU mesh (SURVEY.md
+§5.5): sharded train step runs, and its results match the single-device step
+(same data, same init) to fp32 tolerance."""
+
+import jax
+import numpy as np
+import optax
+import pytest
+
+from graphqembed_tpu.config import GQEConfig
+from graphqembed_tpu.data.sampling import QuerySampler
+from graphqembed_tpu.models.params import init_params
+from graphqembed_tpu.parallel import make_mesh, make_sharded_train_step, shard_params
+from graphqembed_tpu.training import TrainData, make_train_step
+
+
+@pytest.fixture(scope="module")
+def setup(request):
+    graph = request.getfixturevalue("graph")
+    cfg = GQEConfig(embed_dim=32, projection="bilinear", batch_size=64, seed=0)
+    params = init_params(cfg, graph.schema, jax.random.key(0))
+    s = QuerySampler(graph, np.random.default_rng(0), max_negs=20)
+    queries = s.sample_many("2i", 200) + s.sample_many("1p", 200)
+    data = TrainData(graph.schema, queries, cfg.batch_size, seed=1)
+    return graph, cfg, params, data
+
+
+def test_mesh_and_param_sharding(setup):
+    graph, cfg, params, _ = setup
+    mesh = make_mesh(8)
+    sp = shard_params(params, mesh)
+    assert sp["table"].shape[0] % 8 == 0
+    assert sp["table"].sharding.spec == jax.sharding.PartitionSpec("data", None)
+    assert sp["proj"]["W"].sharding.spec == jax.sharding.PartitionSpec()
+
+
+def test_sharded_step_matches_single_device(setup):
+    graph, cfg, params, data = setup
+    mesh = make_mesh(8)
+    optimizer = optax.adam(cfg.lr)
+
+    # single-device reference
+    p1 = jax.tree.map(lambda x: x.copy(), params)
+    o1 = optimizer.init(p1)
+    step1 = make_train_step(cfg, optimizer)
+
+    # sharded
+    p8 = shard_params(jax.tree.map(lambda x: x.copy(), params), mesh)
+    o8 = optimizer.init(p8)
+    step8 = make_sharded_train_step(cfg, optimizer, mesh, p8)
+
+    losses1, losses8 = [], []
+    for structure in ["1p", "2i", "1p", "2i"]:
+        batch = data.sample_batch(structure)
+        rels, anchors, targets, negs, row_mask, im = batch
+        p1, o1, l1 = step1(p1, o1, structure, rels, anchors, targets, negs,
+                           row_mask, im, np.float32(1.0))
+        p8, o8, l8 = step8(p8, o8, structure, rels, anchors, targets, negs,
+                           row_mask, im, 1.0)
+        losses1.append(float(l1))
+        losses8.append(float(l8))
+    np.testing.assert_allclose(losses1, losses8, rtol=2e-5, atol=1e-6)
+    n = params["table"].shape[0]
+    np.testing.assert_allclose(np.asarray(p8["table"])[:n],
+                               np.asarray(p1["table"]), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(p8["proj"]["W"]),
+                               np.asarray(p1["proj"]["W"]), rtol=2e-4, atol=2e-5)
