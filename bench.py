@@ -25,46 +25,58 @@ def build_workload(scale=40.0, n_queries=1500, batch_size=512, embed_dim=128,
     from graphqembed_tpu.config import GQEConfig
     from graphqembed_tpu.data.sampling import QuerySampler
     from graphqembed_tpu.graph.synthetic import synthetic_graph
-    from graphqembed_tpu.training import TrainData
 
     graph = synthetic_graph(seed=seed, scale=scale, avg_degree=10.0)
     cfg = GQEConfig(embed_dim=embed_dim, projection="bilinear",
                     intersection="min", batch_size=batch_size, lr=0.01)
     s = QuerySampler(graph, np.random.default_rng(seed), max_negs=30)
     queries = (s.sample_many("2p", n_queries) + s.sample_many("3i", n_queries))
-    data = TrainData(graph.schema, queries, batch_size, seed=seed)
-    return graph, cfg, data
+    return graph, cfg, queries
 
 
-def bench_jax(graph, cfg, data, n_steps=60, warmup=3) -> float:
+def bench_jax(graph, cfg, queries, n_steps=2000, warmup_steps=100) -> float:
+    """Device-resident pipeline: query pools live in HBM, lax.scan mega-steps
+    (100 train steps per dispatch), alternating 2p / 3i chunks."""
     import jax
     import optax
 
     from graphqembed_tpu.models.params import init_params
-    from graphqembed_tpu.training import make_train_step
+    from graphqembed_tpu.training.device_data import (
+        DeviceTrainData,
+        make_scan_train_step,
+    )
 
+    data = DeviceTrainData(graph.schema, queries)
     params = init_params(cfg, graph.schema, jax.random.key(0))
     optimizer = optax.adam(cfg.lr)
     opt_state = optimizer.init(params)
-    step = make_train_step(cfg, optimizer)
+    scan = make_scan_train_step(cfg, optimizer)
+    key = jax.random.key(0)
+    chunk = 100
 
-    batches = [(s, data.sample_batch(s)) for s in ("2p", "3i") for _ in range(8)]
-    for i in range(warmup):
-        st, (rels, anchors, targets, negs, mask, im) = batches[i % len(batches)]
-        params, opt_state, loss = step(params, opt_state, st, rels, anchors,
-                                       targets, negs, mask, im, np.float32(1.0))
+    def run(params, opt_state, n, k0):
+        done = 0
+        i = 0
+        while done < n:
+            s = ("2p", "3i")[i % 2]
+            params, opt_state, loss = scan(
+                params, opt_state, data.pools[s], s,
+                jax.random.fold_in(key, k0 + i), chunk, 1.0,
+                s == "3i" and cfg.hard_neg_alternate)
+            done += chunk
+            i += 1
+        return params, opt_state
+
+    params, opt_state = run(params, opt_state, warmup_steps, 1000)
     jax.block_until_ready(params)
     t0 = time.perf_counter()
-    for i in range(n_steps):
-        st, (rels, anchors, targets, negs, mask, im) = batches[i % len(batches)]
-        params, opt_state, loss = step(params, opt_state, st, rels, anchors,
-                                       targets, negs, mask, im, np.float32(1.0))
+    params, opt_state = run(params, opt_state, n_steps, 0)
     jax.block_until_ready(params)
     dt = time.perf_counter() - t0
     return n_steps * cfg.batch_size / dt
 
 
-def bench_oracle(graph, cfg, data, n_steps=8, warmup=1) -> float:
+def bench_oracle(graph, cfg, queries, n_steps=8, warmup=1) -> float:
     """Reference-style eager PyTorch training step (same semantics, same
     batch shapes) with dense Adam — the hot loop of SURVEY.md §4.1."""
     import torch
@@ -91,6 +103,9 @@ def bench_oracle(graph, cfg, data, n_steps=8, warmup=1) -> float:
               params["inter"]["post"]]
     opt = torch.optim.Adam(leaves, lr=cfg.lr)
 
+    from graphqembed_tpu.training import TrainData
+
+    data = TrainData(graph.schema, queries, cfg.batch_size, seed=0)
     batches = [(s, data.sample_batch(s)) for s in ("2p", "3i") for _ in range(4)]
 
     def one(i):
@@ -111,9 +126,9 @@ def bench_oracle(graph, cfg, data, n_steps=8, warmup=1) -> float:
 
 
 def main():
-    graph, cfg, data = build_workload()
-    jax_qps = bench_jax(graph, cfg, data)
-    oracle_qps = bench_oracle(graph, cfg, data)
+    graph, cfg, queries = build_workload()
+    jax_qps = bench_jax(graph, cfg, queries)
+    oracle_qps = bench_oracle(graph, cfg, queries)
     print(json.dumps({
         "metric": "train queries/sec/chip, bio-synth 2p+3i, bilinear d=128 B=512",
         "value": round(jax_qps, 1),

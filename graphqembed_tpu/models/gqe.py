@@ -126,6 +126,88 @@ def embed_query(cfg: GQEConfig, params: Params, structure: str,
     raise ValueError(structure)
 
 
+# ---------- per-row variants (mixed-formula batches) ----------
+# The reference batches per formula (relations are batch constants). For the
+# device-resident training pipeline we also support MIXED-formula batches of
+# one structure: rels int32[B, R] per row, operator weights gathered per row.
+# Same math, different schedule; consistency with the per-formula path is
+# pinned by tests (test_rows_path_matches_formula_path).
+
+
+def project_rows(cfg: GQEConfig, params: Params, x: jnp.ndarray,
+                 rel_ids: jnp.ndarray) -> jnp.ndarray:
+    """x [B, d]; rel_ids [B] -> [B, d] with per-row relation parameters."""
+    p = params["proj"]
+    if cfg.projection == "transe":
+        return x + p["r"][rel_ids]
+    if cfg.projection == "distmult":
+        return x * p["w"][rel_ids]
+    return jnp.einsum("bd,bde->be", x, p["W"][rel_ids],
+                      preferred_element_type=jnp.float32,
+                      precision=_precision(cfg))
+
+
+def intersect_rows(cfg: GQEConfig, params: Params, zs: list[jnp.ndarray],
+                   mode_ids: jnp.ndarray) -> jnp.ndarray:
+    """zs each [B, d]; mode_ids [B] per-row intersection mode."""
+    if cfg.learned_intersection:
+        pre = params["inter"]["pre"][mode_ids]  # [B, d, d]
+        hs = [jax.nn.relu(jnp.einsum("bd,bde->be", z, pre,
+                                     preferred_element_type=jnp.float32,
+                                     precision=_precision(cfg)))
+              for z in zs]
+    else:
+        hs = zs
+    stacked = jnp.stack(hs)
+    agg = (jnp.min(stacked, axis=0) if cfg.intersection == "min"
+           else jnp.mean(stacked, axis=0))
+    if cfg.learned_intersection:
+        post = params["inter"]["post"][mode_ids]
+        return jnp.einsum("bd,bde->be", agg, post,
+                          preferred_element_type=jnp.float32,
+                          precision=_precision(cfg))
+    return agg
+
+
+def embed_query_rows(cfg: GQEConfig, params: Params, structure: str,
+                     anchors: jnp.ndarray, rels: jnp.ndarray,
+                     inter_modes: jnp.ndarray) -> jnp.ndarray:
+    """Mixed-formula query embedding: anchors [B, A], rels [B, R],
+    inter_modes [B] -> [B, d]."""
+    table = params["table"]
+    e = lambda i: encode(table, anchors[:, i])
+    P = lambda x, i: project_rows(cfg, params, x, rels[:, i])
+    I = lambda zs: intersect_rows(cfg, params, zs, inter_modes)
+    if structure == "1p":
+        return P(e(0), 0)
+    if structure == "2p":
+        return P(P(e(0), 0), 1)
+    if structure == "3p":
+        return P(P(P(e(0), 0), 1), 2)
+    if structure == "2i":
+        return I([P(e(0), 0), P(e(1), 1)])
+    if structure == "3i":
+        return I([P(e(0), 0), P(e(1), 1), P(e(2), 2)])
+    if structure == "pi":
+        return I([P(P(e(0), 0), 1), P(e(1), 2)])
+    if structure == "ip":
+        return P(I([P(e(0), 0), P(e(1), 1)]), 2)
+    raise ValueError(structure)
+
+
+def margin_loss_rows(cfg: GQEConfig, params: Params, structure: str,
+                     anchors: jnp.ndarray, rels: jnp.ndarray,
+                     inter_modes: jnp.ndarray, targets: jnp.ndarray,
+                     negs: jnp.ndarray, row_mask: jnp.ndarray) -> jnp.ndarray:
+    q = embed_query_rows(cfg, params, structure, anchors, rels, inter_modes)
+    table = params["table"]
+    pos = score(q, encode(table, targets))
+    neg = score(q, encode(table, negs))
+    per_row = jax.nn.relu(cfg.margin - pos + neg)
+    w = row_mask.astype(per_row.dtype)
+    return jnp.sum(per_row * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
 def score(q: jnp.ndarray, cand_embeds: jnp.ndarray) -> jnp.ndarray:
     """Cosine scores. q [B, d]; cand_embeds [B, d] -> [B], or [B, K, d] -> [B, K].
     cand_embeds are unit-norm (from encode); q is normalized here."""

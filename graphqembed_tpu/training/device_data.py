@@ -1,0 +1,195 @@
+"""Device-resident training pipeline (P3, SURVEY.md §8 build plan).
+
+The reference's hot loop is host-driven: python picks a formula, slices a
+batch, ships it to the device, takes one step [R: netquery/utils.py::run_batch
+(conf=H)]. On TPU that schedule is dispatch-bound: the pure train step is
+~0.1 ms while host batch assembly + transfer costs tens of ms. Here the whole
+query set lives in HBM as per-structure SoA pools and a `lax.scan` mega-step
+runs T training steps per dispatch:
+
+  - batch selection: counter-based jax.random (fold_in(key, step)) — uniform
+    over the pool, reproducible, checkpoint-friendly;
+  - negative sampling: uniform index into each query's padded negative pool
+    (rejection-free: modulo valid count);
+  - hard negatives: same, from the hard pool, alternating steps for
+    intersection structures (matching §2.5's alternation);
+  - mixed-formula batches with per-row relation gather (models/gqe.py
+    *_rows) — same math as the reference's per-formula batches, different
+    (IID) schedule.
+
+HBM cost: ~(A+R+2+K+Kh) int32 per query — ~100 MB for 10M queries at K=16.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from graphqembed_tpu.config import GQEConfig, INTERSECT_STRUCTURES, STRUCTURES
+from graphqembed_tpu.data.queries import Query, group_by_formula
+from graphqembed_tpu.graph.schema import Schema
+from graphqembed_tpu.models import gqe
+
+
+class DevicePool:
+    """One structure's queries as device arrays."""
+
+    def __init__(self, schema: Schema, structure: str, queries: list[Query],
+                 neg_width: int = 16, hard_neg_width: int = 16):
+        assert all(q.formula.structure == structure for q in queries)
+        self.structure = structure
+        n = len(queries)
+        a = queries[0].formula.n_anchors
+        r = len(queries[0].formula.rels)
+        anchors = np.zeros((n, a), np.int32)
+        rels = np.zeros((n, r), np.int32)
+        inter_modes = np.zeros(n, np.int32)
+        targets = np.zeros(n, np.int32)
+        negs = np.zeros((n, neg_width), np.int32)
+        neg_counts = np.zeros(n, np.int32)
+        hard = np.zeros((n, hard_neg_width), np.int32)
+        hard_counts = np.zeros(n, np.int32)
+        rng = np.random.default_rng(0)
+        for i, q in enumerate(queries):
+            anchors[i] = q.anchors
+            rels[i] = q.formula.rel_ids(schema)
+            im = q.formula.intersection_mode
+            inter_modes[i] = -1 if im is None else schema.mode_id(im)
+            targets[i] = q.target
+            pool = q.neg_samples
+            if len(pool) > neg_width:
+                pool = rng.choice(pool, size=neg_width, replace=False)
+            negs[i, :len(pool)] = pool
+            neg_counts[i] = len(pool)
+            hp = q.hard_neg_samples
+            if hp is None or len(hp) == 0:
+                hp = pool  # fall back to plain negatives
+            if len(hp) > hard_neg_width:
+                hp = rng.choice(hp, size=hard_neg_width, replace=False)
+            hard[i, :len(hp)] = hp
+            hard_counts[i] = len(hp)
+        dev = jnp.asarray
+        self.n = n
+        self.anchors = dev(anchors)
+        self.rels = dev(rels)
+        self.inter_modes = dev(inter_modes)
+        self.targets = dev(targets)
+        self.negs = dev(negs)
+        self.neg_counts = dev(np.maximum(neg_counts, 1))
+        self.hard = dev(hard)
+        self.hard_counts = dev(np.maximum(hard_counts, 1))
+
+
+class DeviceTrainData:
+    def __init__(self, schema: Schema, queries: list[Query],
+                 neg_width: int = 16, hard_neg_width: int = 16):
+        by_struct: dict[str, list[Query]] = {}
+        for q in queries:
+            by_struct.setdefault(q.formula.structure, []).append(q)
+        self.pools = {
+            s: DevicePool(schema, s, qs, neg_width, hard_neg_width)
+            for s, qs in by_struct.items()
+        }
+        self.weights = {s: len(qs) for s, qs in by_struct.items()}
+
+    @property
+    def structures(self) -> list[str]:
+        return [s for s in STRUCTURES if s in self.pools]
+
+
+def make_scan_train_step(cfg: GQEConfig, optimizer):
+    """Returns scan_fn(params, opt_state, pool, structure, key, n_steps,
+    weight, use_hard) -> (params, opt_state, mean_loss): n_steps training
+    steps in ONE dispatch. use_hard=True draws negatives from the hard pool on
+    odd steps (intersection structures)."""
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("structure", "n_steps", "use_hard"),
+        donate_argnames=("params", "opt_state"),
+    )
+    def scan_fn(params, opt_state, anchors, rels, inter_modes, targets, negs,
+                neg_counts, hard, hard_counts, structure, key, n_steps,
+                weight, use_hard):
+        n = anchors.shape[0]
+        b = cfg.batch_size
+
+        def body(carry, t):
+            params, opt_state = carry
+            k = jax.random.fold_in(key, t)
+            k_idx, k_neg = jax.random.split(k)
+            idx = jax.random.randint(k_idx, (b,), 0, n)
+            j = jax.random.randint(k_neg, (b,), 0, 1 << 30)
+            if use_hard:
+                odd = (t % 2) == 1
+                pool = jnp.where(odd, hard[idx], negs[idx])
+                cnt = jnp.where(odd, hard_counts[idx], neg_counts[idx])
+            else:
+                pool = negs[idx]
+                cnt = neg_counts[idx]
+            neg = jnp.take_along_axis(pool, (j % cnt)[:, None], axis=1)[:, 0]
+
+            def loss_fn(p):
+                return weight * gqe.margin_loss_rows(
+                    cfg, p, structure, anchors[idx], rels[idx],
+                    inter_modes[idx], targets[idx], neg,
+                    jnp.ones(b, jnp.bool_))
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), jnp.arange(n_steps))
+        return params, opt_state, jnp.mean(losses)
+
+    def run(params, opt_state, pool: DevicePool, structure: str, key,
+            n_steps: int, weight: float, use_hard: bool):
+        return scan_fn(params, opt_state, pool.anchors, pool.rels,
+                       pool.inter_modes, pool.targets, pool.negs,
+                       pool.neg_counts, pool.hard, pool.hard_counts,
+                       structure, key, n_steps, np.float32(weight), use_hard)
+
+    return run
+
+
+def run_train_device(cfg: GQEConfig, schema: Schema, params: dict,
+                     data: DeviceTrainData, total_steps: int,
+                     burn_in_steps: int = 0, chunk: int = 50,
+                     key=None, log=None):
+    """Burn-in (1p only) then weighted round-robin multitask, `chunk` steps
+    per dispatch. Returns (params, opt_state, losses_by_structure)."""
+    from graphqembed_tpu.training.loop import structure_weight
+
+    optimizer = optax.adam(cfg.lr)
+    opt_state = optimizer.init(params)
+    scan = make_scan_train_step(cfg, optimizer)
+    key = key if key is not None else jax.random.key(cfg.seed)
+    losses: dict[str, list[float]] = {s: [] for s in data.structures}
+    done = 0
+    round_i = 0
+    while done < total_steps:
+        if done < burn_in_steps and "1p" in data.pools:
+            order = ["1p"]
+        else:
+            order = data.structures
+        for s in order:
+            if done >= total_steps:
+                break
+            t = min(chunk, total_steps - done)
+            key = jax.random.fold_in(key, round_i)
+            params, opt_state, mloss = scan(
+                params, opt_state, data.pools[s], s, key, t,
+                structure_weight(cfg, s),
+                s in INTERSECT_STRUCTURES and cfg.hard_neg_alternate)
+            losses[s].append(float(mloss))
+            done += t
+            round_i += 1
+            if log:
+                log(done, s, float(mloss))
+    return params, opt_state, losses
