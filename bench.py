@@ -34,9 +34,12 @@ def build_workload(scale=40.0, n_queries=1500, batch_size=512, embed_dim=128,
     return graph, cfg, queries
 
 
-def bench_jax(graph, cfg, queries, n_steps=2000, warmup_steps=100) -> float:
+def bench_jax(graph, cfg, queries, n_steps=2000, warmup_steps=100,
+              sparse: bool = True) -> float:
     """Device-resident pipeline: query pools live in HBM, lax.scan mega-steps
-    (100 train steps per dispatch), alternating 2p / 3i chunks."""
+    (100 train steps per dispatch), alternating 2p / 3i chunks. sparse=True
+    uses the lazy-sparse-Adam table update (O(touched rows) instead of
+    O(N·d) per step)."""
     import jax
     import optax
 
@@ -44,34 +47,58 @@ def bench_jax(graph, cfg, queries, n_steps=2000, warmup_steps=100) -> float:
     from graphqembed_tpu.training.device_data import (
         DeviceTrainData,
         make_scan_train_step,
+        make_scan_train_step_sparse,
     )
+    from graphqembed_tpu.training.sparse_adam import init_lazy_adam
 
     data = DeviceTrainData(graph.schema, queries)
     params = init_params(cfg, graph.schema, jax.random.key(0))
     optimizer = optax.adam(cfg.lr)
-    opt_state = optimizer.init(params)
-    scan = make_scan_train_step(cfg, optimizer)
     key = jax.random.key(0)
     chunk = 100
 
-    def run(params, opt_state, n, k0):
-        done = 0
-        i = 0
-        while done < n:
-            s = ("2p", "3i")[i % 2]
-            params, opt_state, loss = scan(
-                params, opt_state, data.pools[s], s,
-                jax.random.fold_in(key, k0 + i), chunk, 1.0,
-                s == "3i" and cfg.hard_neg_alternate)
-            done += chunk
-            i += 1
-        return params, opt_state
+    if sparse:
+        table = params.pop("table")
+        table_state = init_lazy_adam(table)
+        opt_state = optimizer.init(params)
+        scan = make_scan_train_step_sparse(cfg, optimizer)
+        state = (params, table, table_state, opt_state)
 
-    params, opt_state = run(params, opt_state, warmup_steps, 1000)
-    jax.block_until_ready(params)
+        def run(state, n, k0):
+            params, table, table_state, opt_state = state
+            done, i = 0, 0
+            while done < n:
+                s = ("2p", "3i")[i % 2]
+                params, table, table_state, opt_state, loss = scan(
+                    params, table, table_state, opt_state, data.pools[s], s,
+                    jax.random.fold_in(key, k0 + i), chunk, 1.0,
+                    s == "3i" and cfg.hard_neg_alternate)
+                done += chunk
+                i += 1
+            return (params, table, table_state, opt_state)
+    else:
+        opt_state = optimizer.init(params)
+        scan = make_scan_train_step(cfg, optimizer)
+        state = (params, opt_state)
+
+        def run(state, n, k0):
+            params, opt_state = state
+            done, i = 0, 0
+            while done < n:
+                s = ("2p", "3i")[i % 2]
+                params, opt_state, loss = scan(
+                    params, opt_state, data.pools[s], s,
+                    jax.random.fold_in(key, k0 + i), chunk, 1.0,
+                    s == "3i" and cfg.hard_neg_alternate)
+                done += chunk
+                i += 1
+            return (params, opt_state)
+
+    state = run(state, warmup_steps, 1000)
+    jax.block_until_ready(state)
     t0 = time.perf_counter()
-    params, opt_state = run(params, opt_state, n_steps, 0)
-    jax.block_until_ready(params)
+    state = run(state, n_steps, 0)
+    jax.block_until_ready(state)
     dt = time.perf_counter() - t0
     return n_steps * cfg.batch_size / dt
 

@@ -22,6 +22,8 @@ INTERSECT_STRUCTURES = ("2i", "3i", "ip", "pi")  # structures with an intersecti
 
 PROJECTION_KINDS = ("transe", "distmult", "bilinear")
 INTERSECTION_KINDS = ("min", "mean")
+SCORING_KINDS = ("cosine", "dot", "l2")  # edge-scoring decoder family
+
 
 
 @dataclasses.dataclass(frozen=True)
@@ -30,6 +32,7 @@ class GQEConfig:
     embed_dim: int = 128
     projection: str = "bilinear"     # --decoder in the reference
     intersection: str = "min"        # SetIntersection aggregation Φ
+    scoring: str = "cosine"          # edge score: cosine | dot | -L2 distance
     learned_intersection: bool = True  # SetIntersection vs SimpleSetIntersection
     compute_dtype: str = "float32"   # "bfloat16" for perf runs; fp32 for parity
 
@@ -63,6 +66,7 @@ class GQEConfig:
     def __post_init__(self):
         assert self.projection in PROJECTION_KINDS, self.projection
         assert self.intersection in INTERSECTION_KINDS, self.intersection
+        assert self.scoring in SCORING_KINDS, self.scoring
         assert self.compute_dtype in ("float32", "bfloat16")
 
     def to_json(self) -> str:

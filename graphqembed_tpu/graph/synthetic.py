@@ -28,6 +28,36 @@ BIO_RELATION_SPECS: list[tuple[str, str, str]] = [
 ]
 
 
+# Reddit-like schema (the paper's second benchmark; exact reference modes
+# conf=L — abstracted to the same shape: user/content/community interactions).
+REDDIT_MODES = ("community", "post", "user", "word")
+REDDIT_RELATION_SPECS: list[tuple[str, str, str]] = [
+    ("user", "authored", "post"),
+    ("user", "upvoted", "post"),
+    ("user", "subscribes", "community"),
+    ("post", "in", "community"),
+    ("post", "contains", "word"),
+    ("user", "follows", "user"),
+]
+
+
+def reddit_schema(scale: float = 1.0) -> Schema:
+    counts = {
+        "user": max(10, int(500 * scale)),
+        "post": max(10, int(800 * scale)),
+        "community": max(6, int(60 * scale)),
+        "word": max(8, int(300 * scale)),
+    }
+    return Schema.build(counts, [tuple(r) for r in REDDIT_RELATION_SPECS])
+
+
+def reddit_graph(seed: int = 0, scale: float = 1.0,
+                 avg_degree: float = 8.0) -> Graph:
+    """Seeded reddit-like KG, same generator mechanics as synthetic_graph."""
+    return _generate(reddit_schema(scale), REDDIT_RELATION_SPECS, seed,
+                     avg_degree)
+
+
 def synthetic_schema(scale: float = 1.0) -> Schema:
     counts = {
         "protein": max(8, int(400 * scale)),
@@ -44,13 +74,19 @@ def synthetic_graph(
     scale: float = 1.0,
     avg_degree: float = 8.0,
 ) -> Graph:
-    """Seeded generator: for each base relation spec, draw ~avg_degree edges per
-    from-node with preferential attachment on the to-side (power-law in-degree),
-    skewed per-node out-degrees. Fully deterministic in (seed, scale, avg_degree)."""
-    schema = synthetic_schema(scale)
+    """Seeded bio-like generator: for each base relation spec, draw
+    ~avg_degree edges per from-node with preferential attachment on the
+    to-side (power-law in-degree), skewed per-node out-degrees. Fully
+    deterministic in (seed, scale, avg_degree)."""
+    return _generate(synthetic_schema(scale), BIO_RELATION_SPECS, seed,
+                     avg_degree)
+
+
+def _generate(schema: Schema, specs: list[tuple[str, str, str]], seed: int,
+              avg_degree: float) -> Graph:
     rng = np.random.default_rng(seed)
     edges: dict[Relation, np.ndarray] = {}
-    for spec in BIO_RELATION_SPECS:
+    for spec in specs:
         rel: Relation = tuple(spec)  # type: ignore[assignment]
         flo, fhi = schema.mode_range(rel[0])
         tlo, thi = schema.mode_range(rel[2])

@@ -89,11 +89,19 @@ def embed_query(cfg, params: Params, structure: str, anchors, rels,
 
 def forward_scores(cfg, params: Params, structure: str, anchors, rels,
                    inter_mode_id: int, candidates) -> torch.Tensor:
-    q = normalize(embed_query(cfg, params, structure, anchors, rels, inter_mode_id))
+    q = embed_query(cfg, params, structure, anchors, rels, inter_mode_id)
     c = encode(params, candidates)
-    if c.dim() == 2:
-        return (q * c).sum(dim=-1)
-    return torch.einsum("bd,bkd->bk", q, c)
+    kind = getattr(cfg, "scoring", "cosine")
+    if kind == "cosine":
+        q = normalize(q)
+    if kind in ("cosine", "dot"):
+        if c.dim() == 2:
+            return (q * c).sum(dim=-1)
+        return torch.einsum("bd,bkd->bk", q, c)
+    if kind == "l2":
+        diff = (q - c) if c.dim() == 2 else (q[:, None, :] - c)
+        return -(diff * diff).sum(dim=-1)
+    raise ValueError(kind)
 
 
 def margin_loss(cfg, params: Params, structure: str, anchors, rels,

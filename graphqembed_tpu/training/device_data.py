@@ -158,6 +158,74 @@ def make_scan_train_step(cfg: GQEConfig, optimizer):
     return run
 
 
+def make_scan_train_step_sparse(cfg: GQEConfig, small_optimizer):
+    """Sparse-table-update variant of make_scan_train_step: the loss is built
+    from GATHERED rows, so table gradients are [B·(A+2), d] row grads (never
+    densified) and the table is updated by lazy sparse Adam
+    (training/sparse_adam.py) in O(touched rows). Operator params still use
+    the dense optax optimizer. Returns run(params_small, table, table_state,
+    opt_state, pool, structure, key, n_steps, weight, use_hard)."""
+    from graphqembed_tpu.training.sparse_adam import lazy_adam_update
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("structure", "n_steps", "use_hard"),
+        donate_argnames=("small_params", "table", "table_state", "opt_state"),
+    )
+    def scan_fn(small_params, table, table_state, opt_state, anchors, rels,
+                inter_modes, targets, negs, neg_counts, hard, hard_counts,
+                structure, key, n_steps, weight, use_hard):
+        n = anchors.shape[0]
+        b = cfg.batch_size
+
+        def body(carry, t):
+            small_params, table, table_state, opt_state = carry
+            k = jax.random.fold_in(key, t)
+            k_idx, k_neg = jax.random.split(k)
+            idx = jax.random.randint(k_idx, (b,), 0, n)
+            j = jax.random.randint(k_neg, (b,), 0, 1 << 30)
+            if use_hard:
+                odd = (t % 2) == 1
+                npool = jnp.where(odd, hard[idx], negs[idx])
+                cnt = jnp.where(odd, hard_counts[idx], neg_counts[idx])
+            else:
+                npool = negs[idx]
+                cnt = neg_counts[idx]
+            neg = jnp.take_along_axis(npool, (j % cnt)[:, None], axis=1)[:, 0]
+            ids = jnp.concatenate(
+                [anchors[idx], targets[idx][:, None], neg[:, None]], axis=1)
+            rows = table[ids]  # [B, A+2, d] — grads stay row-sparse
+
+            def loss_fn(rows, sp):
+                return weight * gqe.margin_loss_from_rows(
+                    cfg, sp, structure, rows, rels[idx], inter_modes[idx])
+
+            loss, (g_rows, g_small) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1))(rows, small_params)
+            table, table_state = lazy_adam_update(
+                table, table_state, ids.reshape(-1),
+                g_rows.reshape(-1, rows.shape[-1]), lr=cfg.lr)
+            updates, opt_state = small_optimizer.update(
+                g_small, opt_state, small_params)
+            small_params = optax.apply_updates(small_params, updates)
+            return (small_params, table, table_state, opt_state), loss
+
+        carry, losses = jax.lax.scan(
+            body, (small_params, table, table_state, opt_state),
+            jnp.arange(n_steps))
+        small_params, table, table_state, opt_state = carry
+        return small_params, table, table_state, opt_state, jnp.mean(losses)
+
+    def run(small_params, table, table_state, opt_state, pool: DevicePool,
+            structure: str, key, n_steps: int, weight: float, use_hard: bool):
+        return scan_fn(small_params, table, table_state, opt_state,
+                       pool.anchors, pool.rels, pool.inter_modes, pool.targets,
+                       pool.negs, pool.neg_counts, pool.hard, pool.hard_counts,
+                       structure, key, n_steps, np.float32(weight), use_hard)
+
+    return run
+
+
 def run_train_device(cfg: GQEConfig, schema: Schema, params: dict,
                      data: DeviceTrainData, total_steps: int,
                      burn_in_steps: int = 0, chunk: int = 50,

@@ -59,8 +59,8 @@ def _formula_scores(cfg: GQEConfig, params, structure: str, anchors, rels,
     """pos [B], neg [B, K] scores for one formula batch."""
     q = gqe.embed_query(cfg, params, structure, anchors, rels, inter_mode_id)
     table = params["table"]
-    pos = gqe.score(q, gqe.encode(table, targets))
-    neg = gqe.score(q, gqe.encode(table, negs))
+    pos = gqe.score(q, gqe.encode(table, targets), cfg.scoring)
+    neg = gqe.score(q, gqe.encode(table, negs), cfg.scoring)
     return pos, neg
 
 

@@ -119,3 +119,22 @@ def test_jit_no_retrace_across_formulas(graph):
         b = make_batch(graph.schema, qs, batch_size=8, neg_width=1)
         f(params, "2i", b.anchors, b.rels, np.int32(b.inter_mode_id))
     assert len(traces) == 1
+
+
+@pytest.mark.parametrize("scoring", ["cosine", "dot", "l2"])
+def test_scoring_variant_parity(graph, scoring):
+    cfg = GQEConfig(embed_dim=32, projection="distmult", scoring=scoring)
+    params = params_to_numpy(init_params(cfg, graph.schema, jax.random.key(4)))
+    b = _batch_for(graph, "2p", seed=3)
+    s_jax = np.asarray(
+        gqe.forward_scores(cfg, params, "2p", b.anchors, b.rels,
+                           np.int32(b.inter_mode_id), b.negs))
+    s_oracle = torch_gqe.forward_scores(cfg, params, "2p", b.anchors, b.rels,
+                                        b.inter_mode_id, b.negs).numpy()
+    np.testing.assert_allclose(s_jax, s_oracle, rtol=1e-5, atol=1e-6)
+    if scoring == "dot":
+        cos = GQEConfig(embed_dim=32, projection="distmult", scoring="cosine")
+        s_cos = np.asarray(
+            gqe.forward_scores(cos, params, "2p", b.anchors, b.rels,
+                               np.int32(b.inter_mode_id), b.negs))
+        assert np.abs(s_jax - s_cos).max() > 1e-5  # genuinely different score
