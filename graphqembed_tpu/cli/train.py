@@ -37,6 +37,12 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["min", "mean"])
     p.add_argument("--simple_inter", action="store_true",
                    help="SimpleSetIntersection (no learned transforms)")
+    p.add_argument("--depth", type=int, default=0,
+                   help="0=direct embeddings; >0 SAGE-style deep encoder")
+    p.add_argument("--aggregator", type=str, default="mean",
+                   choices=["mean", "pool"])
+    p.add_argument("--neighbor_samples", type=int, default=8,
+                   help="sampled neighbors per relation for depth>0")
     p.add_argument("--lr", type=float, default=0.01)
     p.add_argument("--batch_size", type=int, default=512)
     p.add_argument("--max_iter", type=int, default=10000)
@@ -98,6 +104,8 @@ def main(argv=None):
         projection=args.decoder,
         intersection=args.inter_decoder,
         learned_intersection=not args.simple_inter,
+        depth=args.depth,
+        aggregator=args.aggregator,
         lr=args.lr,
         batch_size=args.batch_size,
         max_iter=args.max_iter,
@@ -117,7 +125,13 @@ def main(argv=None):
                  graph.schema.n_nodes, graph.num_edges(), len(train),
                  len(val or []))
     params = init_params(cfg, graph.schema, jax.random.key(cfg.seed))
-    res = run_train(cfg, graph.schema, params, train, val_queries=val)
+    tables = None
+    if cfg.depth > 0:
+        from graphqembed_tpu.models.encoders import NeighborTables
+        tables = NeighborTables.build(graph, sample_size=args.neighbor_samples,
+                                      seed=cfg.seed)
+    res = run_train(cfg, graph.schema, params, train, val_queries=val,
+                    neighbor_tables=tables)
 
     metrics = {
         "steps": res.steps,
@@ -127,11 +141,13 @@ def main(argv=None):
     }
     if val:
         metrics["final_auc"] = eval_auc(cfg, res.best_params, graph.schema, val,
-                                        seed=cfg.seed)
+                                        seed=cfg.seed, neighbor_tables=tables)
         metrics["final_auc_hard"] = eval_auc(cfg, res.best_params, graph.schema,
-                                             val, seed=cfg.seed, hard=True)
+                                             val, seed=cfg.seed, hard=True,
+                                             neighbor_tables=tables)
         metrics["final_apr"] = eval_apr(cfg, res.best_params, graph.schema, val,
-                                        max_negs=cfg.max_eval_negs)
+                                        max_negs=cfg.max_eval_negs,
+                                        neighbor_tables=tables)
     (model_dir / "metrics.json").write_text(json.dumps(metrics, indent=2))
     save_checkpoint(model_dir / "best", res.best_params, step=res.steps)
     logging.info("done: %s", json.dumps(metrics))

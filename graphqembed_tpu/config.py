@@ -34,6 +34,8 @@ class GQEConfig:
     intersection: str = "min"        # SetIntersection aggregation Φ
     scoring: str = "cosine"          # edge score: cosine | dot | -L2 distance
     learned_intersection: bool = True  # SetIntersection vs SimpleSetIntersection
+    depth: int = 0                   # 0 = DirectEncoder; >0 = SAGE-style deep encoder
+    aggregator: str = "mean"         # deep-encoder neighbor aggregator: mean | pool
     compute_dtype: str = "float32"   # "bfloat16" for perf runs; fp32 for parity
 
     # --- training protocol (SURVEY.md §2.5) ---
@@ -67,6 +69,8 @@ class GQEConfig:
         assert self.projection in PROJECTION_KINDS, self.projection
         assert self.intersection in INTERSECTION_KINDS, self.intersection
         assert self.scoring in SCORING_KINDS, self.scoring
+        assert self.aggregator in ("mean", "pool"), self.aggregator
+        assert 0 <= self.depth <= 2, self.depth
         assert self.compute_dtype in ("float32", "bfloat16")
 
     def to_json(self) -> str:

@@ -26,6 +26,7 @@ with h^0 = base table rows. Depth 0 == DirectEncoder semantics exactly.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +38,11 @@ from graphqembed_tpu.graph.schema import Schema
 from graphqembed_tpu.models.gqe import _precision, l2_normalize
 
 
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["neighbors", "node_mode", "node_local", "mode_rel_ids"],
+    meta_fields=["sample_size"],
+)
 @dataclasses.dataclass
 class NeighborTables:
     """Padded per-relation neighbor samples + static schema index maps.
@@ -104,6 +110,21 @@ def init_encoder_params(cfg: GQEConfig, schema: Schema, key: jax.Array) -> dict:
     u = lambda k, shape: jax.random.uniform(k, shape, jnp.float32, -lim, lim)
     return {"W_self": u(k1, (m, d, d)), "W_rel": u(k2, (r, d, d)),
             "W_pool": u(k3, (r, d, d))}
+
+
+def make_deep_encoder(cfg: GQEConfig, params: dict, tables: NeighborTables,
+                      depth: int, aggregator: str = "mean"):
+    """encode_fn closure for models/gqe.py forward paths: params must hold
+    'table' and 'encoder' (init_encoder_params). Handles [..]-shaped id
+    arrays by flattening (candidates arrive [B] or [B, K])."""
+
+    def encode_fn(ids: jnp.ndarray) -> jnp.ndarray:
+        flat = ids.reshape(-1)
+        out = sage_encode(cfg, params["table"], params["encoder"], tables,
+                          flat, depth=depth, aggregator=aggregator)
+        return out.reshape(ids.shape + (params["table"].shape[1],))
+
+    return encode_fn
 
 
 def sage_encode(cfg: GQEConfig, table: jnp.ndarray, enc_params: dict,

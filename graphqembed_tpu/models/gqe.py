@@ -101,14 +101,17 @@ def intersect(cfg: GQEConfig, params: Params, zs: list[jnp.ndarray],
 
 def embed_query(cfg: GQEConfig, params: Params, structure: str,
                 anchors: jnp.ndarray, rels: jnp.ndarray,
-                inter_mode_id: jnp.ndarray) -> jnp.ndarray:
+                inter_mode_id: jnp.ndarray,
+                encode_fn=None) -> jnp.ndarray:
     """Query embedding [B, d] for one formula batch.
 
     anchors int32[B, A]; rels int32[R] (application order); inter_mode_id
-    scalar (−1 for chains, ignored).
+    scalar (−1 for chains, ignored). encode_fn overrides the node encoder
+    (ids -> [.., d]); default is table-row gather + L2 norm (DirectEncoder);
+    pass models/encoders.py::make_deep_encoder(...) for depth>0 SAGE encoding.
     """
-    table = params["table"]
-    e = lambda i: encode(table, anchors[:, i])
+    enc = encode_fn or (lambda ids: encode(params["table"], ids))
+    e = lambda i: enc(anchors[:, i])
     P = functools.partial(project, cfg, params)
     if structure == "1p":
         return P(e(0), rels[0])
@@ -132,6 +135,65 @@ def embed_query(cfg: GQEConfig, params: Params, structure: str,
                       inter_mode_id)
         return P(v, rels[2])
     raise ValueError(structure)
+
+
+# ---------- soft-and baseline model ----------
+# The reference's second model class [R: netquery/model.py soft-and baseline
+# (conf=L), SURVEY.md §2.4]: instead of one intersected query embedding, each
+# branch scores candidates independently and the per-branch scores combine
+# multiplicatively (an "AND" in [0, 1] space). Not needed for headline
+# parity; provided for model-family completeness.
+
+
+def branch_embeddings(cfg: GQEConfig, params: Params, structure: str,
+                      anchors: jnp.ndarray, rels: jnp.ndarray
+                      ) -> list[jnp.ndarray]:
+    """Per-branch query embeddings at the target node (no intersection op)."""
+    table = params["table"]
+    e = lambda i: encode(table, anchors[:, i])
+    P = functools.partial(project, cfg, params)
+    if structure in ("1p", "2p", "3p"):
+        cur = e(0)
+        for i in range(len(rels)):
+            cur = P(cur, rels[i])
+        return [cur]
+    if structure == "2i":
+        return [P(e(0), rels[0]), P(e(1), rels[1])]
+    if structure == "3i":
+        return [P(e(0), rels[0]), P(e(1), rels[1]), P(e(2), rels[2])]
+    if structure == "pi":
+        return [P(P(e(0), rels[0]), rels[1]), P(e(1), rels[2])]
+    if structure == "ip":
+        # branches join at v then project: each branch projected through r3
+        return [P(P(e(0), rels[0]), rels[2]), P(P(e(1), rels[1]), rels[2])]
+    raise ValueError(structure)
+
+
+def soft_and_scores(cfg: GQEConfig, params: Params, structure: str,
+                    anchors: jnp.ndarray, rels: jnp.ndarray,
+                    candidates: jnp.ndarray) -> jnp.ndarray:
+    """Soft-and combined score: per-branch cosine mapped to [0, 1] via
+    (s+1)/2, multiplied across branches. Monotone in s for single-branch
+    structures (identical rankings to the main model there)."""
+    branches = branch_embeddings(cfg, params, structure, anchors, rels)
+    c = encode(params["table"], candidates)
+    combined = None
+    for z in branches:
+        s = score(z, c, cfg.scoring)
+        p = (s + 1.0) * 0.5 if cfg.scoring == "cosine" else jax.nn.sigmoid(s)
+        combined = p if combined is None else combined * p
+    return combined
+
+
+def soft_and_margin_loss(cfg: GQEConfig, params: Params, structure: str,
+                         anchors: jnp.ndarray, rels: jnp.ndarray,
+                         targets: jnp.ndarray, negs: jnp.ndarray,
+                         row_mask: jnp.ndarray) -> jnp.ndarray:
+    pos = soft_and_scores(cfg, params, structure, anchors, rels, targets)
+    neg = soft_and_scores(cfg, params, structure, anchors, rels, negs)
+    per_row = jax.nn.relu(cfg.margin - pos + neg)
+    w = row_mask.astype(per_row.dtype)
+    return jnp.sum(per_row * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
 # ---------- per-row variants (mixed-formula batches) ----------
@@ -282,22 +344,26 @@ def score(q: jnp.ndarray, cand_embeds: jnp.ndarray,
 def forward_scores(cfg: GQEConfig, params: Params, structure: str,
                    anchors: jnp.ndarray, rels: jnp.ndarray,
                    inter_mode_id: jnp.ndarray,
-                   candidates: jnp.ndarray) -> jnp.ndarray:
+                   candidates: jnp.ndarray, encode_fn=None) -> jnp.ndarray:
     """Scores of candidate nodes: candidates int32[B] -> [B] or [B,K] -> [B,K]
     — the reference's QueryEncoderDecoder.forward [R: netquery/model.py (conf=H)]."""
-    q = embed_query(cfg, params, structure, anchors, rels, inter_mode_id)
-    return score(q, encode(params["table"], candidates), cfg.scoring)
+    enc = encode_fn or (lambda ids: encode(params["table"], ids))
+    q = embed_query(cfg, params, structure, anchors, rels, inter_mode_id,
+                    encode_fn)
+    return score(q, enc(candidates), cfg.scoring)
 
 
 def margin_loss(cfg: GQEConfig, params: Params, structure: str,
                 anchors: jnp.ndarray, rels: jnp.ndarray,
                 inter_mode_id: jnp.ndarray, targets: jnp.ndarray,
-                negs: jnp.ndarray, row_mask: jnp.ndarray) -> jnp.ndarray:
+                negs: jnp.ndarray, row_mask: jnp.ndarray,
+                encode_fn=None) -> jnp.ndarray:
     """Mean max-margin loss over valid rows; negs int32[B] (one per query)."""
-    q = embed_query(cfg, params, structure, anchors, rels, inter_mode_id)
-    table = params["table"]
-    pos = score(q, encode(table, targets), cfg.scoring)
-    neg = score(q, encode(table, negs), cfg.scoring)
+    enc = encode_fn or (lambda ids: encode(params["table"], ids))
+    q = embed_query(cfg, params, structure, anchors, rels, inter_mode_id,
+                    encode_fn)
+    pos = score(q, enc(targets), cfg.scoring)
+    neg = score(q, enc(negs), cfg.scoring)
     per_row = jax.nn.relu(cfg.margin - pos + neg)
     w = row_mask.astype(per_row.dtype)
     return jnp.sum(per_row * w) / jnp.maximum(jnp.sum(w), 1.0)

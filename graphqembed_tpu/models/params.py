@@ -48,6 +48,10 @@ def init_params(cfg: GQEConfig, schema: Schema, key: jax.Array) -> dict:
             "pre": jax.random.uniform(k_pre, (m, d, d), jnp.float32, -lim, lim),
             "post": jax.random.uniform(k_post, (m, d, d), jnp.float32, -lim, lim),
         }
+    if cfg.depth > 0:
+        from graphqembed_tpu.models.encoders import init_encoder_params
+        params["encoder"] = init_encoder_params(
+            cfg, schema, jax.random.fold_in(key, 17))
     return params
 
 

@@ -111,3 +111,43 @@ def margin_loss(cfg, params: Params, structure: str, anchors, rels,
     per_row = torch.relu(cfg.margin - pos + neg)
     w = _t(row_mask).to(per_row.dtype)
     return (per_row * w).sum() / w.sum().clamp_min(1.0)
+
+
+# ---------- soft-and baseline (mirrors models/gqe.py soft_and_*) ----------
+
+def branch_embeddings(cfg, params: Params, structure: str, anchors, rels):
+    anchors = _t(anchors).long()
+    rels = [int(r) for r in np.asarray(rels)]
+    e = lambda i: encode(params, anchors[:, i])
+    P = lambda x, r: project(cfg.projection, params, x, r)
+    if structure in ("1p", "2p", "3p"):
+        cur = e(0)
+        for r in rels:
+            cur = P(cur, r)
+        return [cur]
+    if structure == "2i":
+        return [P(e(0), rels[0]), P(e(1), rels[1])]
+    if structure == "3i":
+        return [P(e(0), rels[0]), P(e(1), rels[1]), P(e(2), rels[2])]
+    if structure == "pi":
+        return [P(P(e(0), rels[0]), rels[1]), P(e(1), rels[2])]
+    if structure == "ip":
+        return [P(P(e(0), rels[0]), rels[2]), P(P(e(1), rels[1]), rels[2])]
+    raise ValueError(structure)
+
+
+def soft_and_scores(cfg, params: Params, structure: str, anchors, rels,
+                    candidates) -> torch.Tensor:
+    c = encode(params, candidates)
+    combined = None
+    for z in branch_embeddings(cfg, params, structure, anchors, rels):
+        kind = getattr(cfg, "scoring", "cosine")
+        if kind == "cosine":
+            z = normalize(z)
+        if c.dim() == 2:
+            s = (z * c).sum(dim=-1)
+        else:
+            s = torch.einsum("bd,bkd->bk", z, c)
+        p = (s + 1.0) * 0.5 if kind == "cosine" else torch.sigmoid(s)
+        combined = p if combined is None else combined * p
+    return combined

@@ -60,7 +60,8 @@ def _route_gather(table_shard: jnp.ndarray, ids: jnp.ndarray, axis: str,
     valid = recv >= 0
     safe = jnp.where(valid, recv, 0)
     rows = table_shard[safe]                            # [D, C, d]
-    rows = jnp.where(valid[..., None], rows, 0.0)
+    rows = jnp.where(valid[..., None], rows,
+                     jnp.zeros((), rows.dtype))  # keep dtype (int tables too)
 
     # send rows back: back[p] = rows served BY device p for MY requests
     back = jax.lax.all_to_all(rows, axis, split_axis=0, concat_axis=0,

@@ -64,6 +64,30 @@ def _formula_scores(cfg: GQEConfig, params, structure: str, anchors, rels,
     return pos, neg
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "structure"))
+def _formula_scores_deep(cfg: GQEConfig, params, structure: str, anchors,
+                         rels, inter_mode_id, targets, negs, neighbor_tables):
+    """Depth>0 variant: nodes encoded by the SAGE encoder (cfg.depth)."""
+    from graphqembed_tpu.models.encoders import make_deep_encoder
+    encode_fn = make_deep_encoder(cfg, params, neighbor_tables, cfg.depth,
+                                  cfg.aggregator)
+    q = gqe.embed_query(cfg, params, structure, anchors, rels, inter_mode_id,
+                        encode_fn)
+    pos = gqe.score(q, encode_fn(targets), cfg.scoring)
+    neg = gqe.score(q, encode_fn(negs), cfg.scoring)
+    return pos, neg
+
+
+def _scores(cfg, params, structure, anchors, rels, inter_mode_id, targets,
+            negs, neighbor_tables=None):
+    if cfg.depth > 0 and neighbor_tables is not None:
+        return _formula_scores_deep(cfg, params, structure, anchors, rels,
+                                    inter_mode_id, targets, negs,
+                                    neighbor_tables)
+    return _formula_scores(cfg, params, structure, anchors, rels,
+                           inter_mode_id, targets, negs)
+
+
 def _batches(schema: Schema, by_formula: dict, batch_size: int, neg_width: int,
              hard_neg_width: int, rng: np.random.Generator | None):
     for formula, qs in sorted(by_formula.items(), key=lambda kv: kv[0].serialize()):
@@ -75,7 +99,8 @@ def _batches(schema: Schema, by_formula: dict, batch_size: int, neg_width: int,
 
 
 def eval_auc(cfg: GQEConfig, params, schema: Schema, queries: list[Query],
-             seed: int = 0, hard: bool = False) -> dict[str, float]:
+             seed: int = 0, hard: bool = False,
+             neighbor_tables=None) -> dict[str, float]:
     """Macro AUC per structure (query-count weighted over formulas) using one
     sampled negative per positive. hard=True scores hard negatives instead
     (intersection structures only). Returns {structure: auc, 'macro': mean}."""
@@ -93,9 +118,9 @@ def eval_auc(cfg: GQEConfig, params, schema: Schema, queries: list[Query],
                                    hard_neg_width=1 if hard else 0, rng=rng):
             negs = b.hard_negs if hard else b.negs
             nmask = b.hard_neg_mask if hard else b.neg_mask
-            pos, neg = _formula_scores(cfg, params, structure, b.anchors,
-                                       b.rels, np.int32(b.inter_mode_id),
-                                       b.targets, negs)
+            pos, neg = _scores(cfg, params, structure, b.anchors,
+                               b.rels, np.int32(b.inter_mode_id),
+                               b.targets, negs, neighbor_tables)
             auc = auc_from_scores(pos, neg[:, 0],
                                   jnp.asarray(b.row_mask),
                                   jnp.asarray(b.row_mask & nmask[:, 0]))
@@ -110,7 +135,8 @@ def eval_auc(cfg: GQEConfig, params, schema: Schema, queries: list[Query],
 
 
 def eval_apr(cfg: GQEConfig, params, schema: Schema, queries: list[Query],
-             max_negs: int | None = None) -> dict[str, float]:
+             max_negs: int | None = None,
+             neighbor_tables=None) -> dict[str, float]:
     """Mean percentile rank per structure over full_neg queries (negatives
     truncated to max_negs if given — real bio-scale modes need a cap)."""
     by_struct: dict[str, dict] = {}
@@ -123,9 +149,9 @@ def eval_apr(cfg: GQEConfig, params, schema: Schema, queries: list[Query],
         num = den = 0.0
         for formula, b in _batches(schema, by_formula, cfg.eval_batch_size,
                                    neg_width=width, hard_neg_width=0, rng=None):
-            pos, neg = _formula_scores(cfg, params, structure, b.anchors,
-                                       b.rels, np.int32(b.inter_mode_id),
-                                       b.targets, b.negs)
+            pos, neg = _scores(cfg, params, structure, b.anchors,
+                               b.rels, np.int32(b.inter_mode_id),
+                               b.targets, b.negs, neighbor_tables)
             pr = percentile_ranks(pos, neg, jnp.asarray(b.neg_mask))
             m = b.row_mask.astype(np.float32)
             num += float(jnp.sum(pr * m))

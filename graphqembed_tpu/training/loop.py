@@ -124,17 +124,25 @@ class TrainData:
         )
 
 
-def make_train_step(cfg: GQEConfig, optimizer) -> Callable:
+def make_train_step(cfg: GQEConfig, optimizer,
+                    neighbor_tables=None) -> Callable:
     """Jitted (params, opt_state, batch) -> (params, opt_state, loss), one
-    compiled program per structure."""
+    compiled program per structure. neighbor_tables enables the depth>0 SAGE
+    encoder (cfg.depth), matching the reference's --depth flag."""
 
     @functools.partial(jax.jit, static_argnames=("structure",),
                        donate_argnames=("params", "opt_state"))
     def step(params, opt_state, structure, rels, anchors, targets, negs,
              row_mask, inter_mode_id, weight):
         def loss_fn(p):
+            encode_fn = None
+            if cfg.depth > 0 and neighbor_tables is not None:
+                from graphqembed_tpu.models.encoders import make_deep_encoder
+                encode_fn = make_deep_encoder(cfg, p, neighbor_tables,
+                                              cfg.depth, cfg.aggregator)
             l = gqe.margin_loss(cfg, p, structure, anchors, rels,
-                                inter_mode_id, targets, negs, row_mask)
+                                inter_mode_id, targets, negs, row_mask,
+                                encode_fn=encode_fn)
             return l * weight
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -172,10 +180,11 @@ def run_train(
     val_queries: list[Query] | None = None,
     log_every: int = 500,
     on_step=None,
+    neighbor_tables=None,
 ) -> TrainResult:
     optimizer = optax.adam(cfg.lr)
     opt_state = optimizer.init(params)
-    step_fn = make_train_step(cfg, optimizer)
+    step_fn = make_train_step(cfg, optimizer, neighbor_tables)
     data = TrainData(schema, train_queries, cfg.batch_size, seed=cfg.seed)
 
     losses: dict[str, list[float]] = {s: [] for s in data.structures}
@@ -225,7 +234,8 @@ def run_train(
                         "/hard" if hard else "", loss)
 
         if val_queries and step_i % cfg.val_every == 0:
-            aucs = eval_auc(cfg, params, schema, val_queries, seed=cfg.seed)
+            aucs = eval_auc(cfg, params, schema, val_queries, seed=cfg.seed,
+                            neighbor_tables=neighbor_tables)
             macro = aucs.get("macro", 0.0)
             val_history.append((step_i, macro))
             logger.info("step %d val AUC %s", step_i,

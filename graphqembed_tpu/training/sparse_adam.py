@@ -46,18 +46,22 @@ def init_lazy_adam(table: jnp.ndarray) -> LazyAdamState:
 
 def dedup_row_grads(ids: jnp.ndarray, grads: jnp.ndarray, n_rows: int
                     ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """ids [L] (with duplicates), grads [L, d] -> (uids [L], summed [L, d])
-    where uids[s] is the s-th distinct id (sentinel n_rows for unused slots —
-    scatters with mode='drop' ignore them) and summed[s] its total gradient."""
+    """ids [L] (with duplicates), grads [L, d] -> (uids [L], summed [L, d]):
+    slot i holds (ids[i], Σ grads over all occurrences of ids[i]) if i is the
+    FIRST occurrence, else (sentinel n_rows, don't-care) — scatters with
+    mode='drop' ignore sentinels.
+
+    TPU-shaped dedup: sorting inside a train step costs ~ms (bitonic passes),
+    so duplicates are resolved with an [L, L] equality matrix instead —
+    first-occurrence via argmax over the row, duplicate summation as one
+    [L, L] @ [L, d] MXU matmul (L ≈ a few thousand → ~10 µs)."""
     l = ids.shape[0]
-    order = jnp.argsort(ids)
-    ids_s = ids[order]
-    g_s = grads[order]
-    head = jnp.concatenate(
-        [jnp.ones(1, jnp.bool_), ids_s[1:] != ids_s[:-1]])
-    seg = jnp.cumsum(head) - 1                      # [L] segment index
-    summed = jax.ops.segment_sum(g_s, seg, num_segments=l)
-    uids = jnp.full(l, n_rows, ids.dtype).at[seg].min(ids_s)
+    eq = ids[:, None] == ids[None, :]               # [L, L]
+    first_idx = jnp.argmax(eq, axis=1)              # first occurrence index
+    is_first = first_idx == jnp.arange(l)
+    summed = jnp.dot(eq.astype(grads.dtype), grads,
+                     preferred_element_type=jnp.float32)
+    uids = jnp.where(is_first, ids, n_rows).astype(ids.dtype)
     return uids, summed
 
 
@@ -82,7 +86,9 @@ def lazy_adam_update(table: jnp.ndarray, state: LazyAdamState,
     nu_hat = nu / (1.0 - jnp.power(b2, tf))
     step = -lr * mu_hat / (jnp.sqrt(nu_hat) + eps)
 
-    drop = dict(mode="drop")
+    # uids are unique by construction (duplicates → sentinel): telling XLA so
+    # avoids the serialized/sorted scatter path on TPU
+    drop = dict(mode="drop", unique_indices=True)
     table = table.at[uids].add(jnp.where(valid[:, None], step, 0.0), **drop)
     new_state = LazyAdamState(
         mu=state.mu.at[uids].set(jnp.where(valid[:, None], mu, 0.0), **drop),

@@ -71,3 +71,31 @@ def test_aggregators_differ(setup):
     b = np.asarray(sage_encode(cfg, params["table"], enc, tables, ids,
                                depth=1, aggregator="pool"))
     assert np.abs(a - b).max() > 1e-3
+
+
+def test_deep_encoder_in_model_forward(setup):
+    """depth-1 encoder drives the full query forward + margin loss under jit
+    and gradients flow into encoder weights."""
+    import jax.numpy as jnp
+    from graphqembed_tpu.models.encoders import make_deep_encoder
+    from graphqembed_tpu.data.queries import group_by_formula, make_batch
+    from graphqembed_tpu.data.sampling import QuerySampler
+
+    graph, cfg, params, enc, tables = setup
+    params = dict(params)
+    params["encoder"] = enc
+    s = QuerySampler(graph, np.random.default_rng(3), max_negs=10)
+    qs = max(group_by_formula(s.sample_many("2i", 30)).values(), key=len)
+    b = make_batch(graph.schema, qs, batch_size=len(qs), neg_width=1,
+                   rng=np.random.default_rng(0))
+
+    def loss_fn(p):
+        encode_fn = make_deep_encoder(cfg, p, tables, depth=1)
+        return gqe.margin_loss(cfg, p, "2i", b.anchors, b.rels,
+                               np.int32(b.inter_mode_id), b.targets,
+                               b.negs[:, 0], b.row_mask, encode_fn=encode_fn)
+
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+    assert np.isfinite(float(loss))
+    g = np.asarray(grads["encoder"]["W_self"])
+    assert np.isfinite(g).all() and np.abs(g).max() > 0

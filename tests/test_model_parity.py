@@ -138,3 +138,16 @@ def test_scoring_variant_parity(graph, scoring):
             gqe.forward_scores(cos, params, "2p", b.anchors, b.rels,
                                np.int32(b.inter_mode_id), b.negs))
         assert np.abs(s_jax - s_cos).max() > 1e-5  # genuinely different score
+
+
+@pytest.mark.parametrize("structure", STRUCTURES)
+def test_soft_and_parity(graph, structure):
+    cfg = CONFIGS[2]
+    params = params_to_numpy(init_params(cfg, graph.schema, jax.random.key(5)))
+    b = _batch_for(graph, structure, seed=5)
+    s_jax = np.asarray(
+        gqe.soft_and_scores(cfg, params, structure, b.anchors, b.rels, b.negs))
+    s_oracle = torch_gqe.soft_and_scores(cfg, params, structure, b.anchors,
+                                         b.rels, b.negs).numpy()
+    np.testing.assert_allclose(s_jax, s_oracle, rtol=1e-5, atol=1e-6)
+    assert (s_jax >= 0).all() and (s_jax <= 1).all()

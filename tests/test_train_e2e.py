@@ -69,3 +69,22 @@ def test_full_multitask_protocol():
     assert set(hard) <= {"2i", "3i", "ip", "pi", "macro"}
     apr = eval_apr(cfg, res.best_params, graph.schema, val, max_negs=30)
     assert apr["macro"] > 0.6, apr
+
+
+def test_deep_encoder_training(graph):
+    """depth-1 end-to-end: run_train with neighbor tables learns 1p."""
+    from graphqembed_tpu.models.encoders import NeighborTables
+
+    cfg = GQEConfig(embed_dim=32, projection="transe", batch_size=64,
+                    max_iter=250, max_burn_in=250, val_every=10_000,
+                    conv_window=50, tol=0.0, lr=0.05, depth=1, seed=4)
+    tables = NeighborTables.build(graph, sample_size=4, seed=0)
+    train, val = _queries(graph, ["1p"], n_train=250, n_val=60, seed=4)
+    params = init_params(cfg, graph.schema, jax.random.key(2))
+    assert "encoder" in params
+    res = run_train(cfg, graph.schema, params, train, neighbor_tables=tables)
+    early = np.mean(res.losses["1p"][:20])
+    late = np.mean(res.losses["1p"][-20:])
+    assert late < 0.7 * early, (early, late)
+    aucs = eval_auc(cfg, res.params, graph.schema, val, neighbor_tables=tables)
+    assert aucs["1p"] > 0.55, aucs
