@@ -1,0 +1,105 @@
+"""Scaling-efficiency harness (BASELINE.json: edges/s at 1 chip / 1 host /
+N hosts, >80% efficiency target at 2+ hosts).
+
+Runs the sharded train step (DP batch axis + row-sharded table) on meshes of
+1, 2, 4, ... devices over whatever jax.devices() provides — real chips on a
+pod slice, or the simulated CPU mesh
+(JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8) for
+mechanism validation — and reports queries/s, edges/s (traversed + scored,
+training/metrics.py accounting) and parallel efficiency vs the 1-device run.
+CPU-mesh numbers validate the harness, not the hardware: virtual devices
+share host cores, so efficiency there is NOT the ICI number.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def measure(n_devices: int, cfg, graph, queries, n_steps: int = 60,
+            warmup: int = 10) -> dict:
+    import jax
+    import optax
+
+    from graphqembed_tpu.models.params import init_params
+    from graphqembed_tpu.parallel import (
+        make_mesh,
+        make_sharded_train_step,
+        shard_params,
+    )
+    from graphqembed_tpu.training import TrainData
+    from graphqembed_tpu.training.metrics import EDGES_PER_QUERY
+
+    mesh = make_mesh(n_devices)
+    params = shard_params(
+        init_params(cfg, graph.schema, jax.random.key(0)), mesh)
+    optimizer = optax.adam(cfg.lr)
+    opt_state = optimizer.init(params)
+    step = make_sharded_train_step(cfg, optimizer, mesh, params)
+    data = TrainData(graph.schema, queries, cfg.batch_size, seed=0)
+    batches = [(s, data.sample_batch(s)) for s in ("2p", "3i")
+               for _ in range(4)]
+
+    def run(params, opt_state, n):
+        for i in range(n):
+            s, (rels, anchors, targets, negs, mask, im) = batches[
+                i % len(batches)]
+            params, opt_state, _ = step(params, opt_state, s, rels, anchors,
+                                        targets, negs, mask, im, 1.0)
+        return params, opt_state
+
+    params, opt_state = run(params, opt_state, warmup)
+    jax.block_until_ready(params)
+    t0 = time.perf_counter()
+    params, opt_state = run(params, opt_state, n_steps)
+    jax.block_until_ready(params)
+    dt = time.perf_counter() - t0
+    qps = n_steps * cfg.batch_size / dt
+    epq = np.mean([EDGES_PER_QUERY["2p"], EDGES_PER_QUERY["3i"]])
+    return {"devices": n_devices, "queries_per_sec": round(qps, 1),
+            "edges_per_sec": round(qps * epq, 1)}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("gqe-scaling")
+    p.add_argument("--scale", type=float, default=4.0)
+    p.add_argument("--batch_size", type=int, default=512)
+    p.add_argument("--embed_dim", type=int, default=128)
+    p.add_argument("--n_queries", type=int, default=800)
+    p.add_argument("--steps", type=int, default=60)
+    args = p.parse_args(argv)
+
+    import jax
+
+    from graphqembed_tpu.config import GQEConfig
+    from graphqembed_tpu.data.sampling import QuerySampler
+    from graphqembed_tpu.graph.synthetic import synthetic_graph
+
+    cfg = GQEConfig(embed_dim=args.embed_dim, projection="bilinear",
+                    batch_size=args.batch_size)
+    graph = synthetic_graph(seed=0, scale=args.scale, avg_degree=8.0)
+    s = QuerySampler(graph, np.random.default_rng(0), max_negs=20)
+    queries = (s.sample_many("2p", args.n_queries)
+               + s.sample_many("3i", args.n_queries))
+
+    n_avail = len(jax.devices())
+    sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_avail]
+    results = []
+    base = None
+    for n in sizes:
+        r = measure(n, cfg, graph, queries, n_steps=args.steps)
+        if base is None:
+            base = r["edges_per_sec"]
+        r["efficiency_vs_1dev"] = round(
+            r["edges_per_sec"] / (base * r["devices"]), 3)
+        results.append(r)
+        print(json.dumps(r), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

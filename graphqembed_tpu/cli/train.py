@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model_dir", type=str, default="runs/latest")
     p.add_argument("--log_dir", type=str, default=None)
     p.add_argument("--cpu", action="store_true", help="force JAX_PLATFORMS=cpu")
+    p.add_argument("--ckpt_every", type=int, default=0,
+                   help="save full train state every N steps (0 = off)")
+    p.add_argument("--resume", action="store_true",
+                   help="restart from the latest checkpoint in model_dir")
     return p
 
 
@@ -92,7 +96,10 @@ def main(argv=None):
     from graphqembed_tpu.config import GQEConfig
     from graphqembed_tpu.models.params import init_params
     from graphqembed_tpu.training import eval_apr, eval_auc, run_train
-    from graphqembed_tpu.training.checkpoint import save_checkpoint
+    from graphqembed_tpu.training.checkpoint import (
+        CheckpointManager,
+        save_checkpoint,
+    )
 
     logging.basicConfig(
         level=logging.INFO,
@@ -130,8 +137,12 @@ def main(argv=None):
         from graphqembed_tpu.models.encoders import NeighborTables
         tables = NeighborTables.build(graph, sample_size=args.neighbor_samples,
                                       seed=cfg.seed)
+    mgr = None
+    if args.ckpt_every or args.resume:
+        mgr = CheckpointManager(model_dir / "ckpts", keep=3)
     res = run_train(cfg, graph.schema, params, train, val_queries=val,
-                    neighbor_tables=tables)
+                    neighbor_tables=tables, ckpt_manager=mgr,
+                    ckpt_every=args.ckpt_every, resume=args.resume)
 
     metrics = {
         "steps": res.steps,

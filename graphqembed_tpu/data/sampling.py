@@ -261,9 +261,44 @@ def _worker(args) -> list[tuple]:
 
 def parallel_sample(graph: Graph, structure: str, n: int, n_workers: int = 4,
                     seed: int = 0, exhaustive_negs: bool = False,
-                    max_negs: int = 100) -> list[Query]:
-    """Fork-parallel sampling with disjoint seeds, merged + deduped — the
-    reference's multiprocessing sampling driver, rebuilt."""
+                    max_negs: int = 100, engine: str = "auto") -> list[Query]:
+    """Parallel sampling with disjoint seeds, merged + deduped — the
+    reference's multiprocessing sampling driver, rebuilt. engine="auto"
+    prefers the C++ bulk sampler (graphqembed_tpu/native) with THREAD
+    parallelism (the C call releases the GIL); "python" forces the
+    fork-based python sampler."""
+    if engine in ("auto", "native"):
+        try:
+            from graphqembed_tpu.native import (
+                native_available,
+                native_sample_many,
+            )
+            if native_available():
+                if n_workers <= 1:
+                    return native_sample_many(
+                        graph, structure, n, seed=seed, max_negs=max_negs,
+                        exhaustive_negs=exhaustive_negs) or []
+                from concurrent.futures import ThreadPoolExecutor
+                per = -(-n // n_workers)
+                with ThreadPoolExecutor(max_workers=n_workers) as ex:
+                    shards = list(ex.map(
+                        lambda w: native_sample_many(
+                            graph, structure, per,
+                            seed=seed * 10_000 + w, max_negs=max_negs,
+                            exhaustive_negs=exhaustive_negs) or [],
+                        range(n_workers)))
+                seen: set[tuple] = set()
+                out: list[Query] = []
+                for shard in shards:
+                    for q in shard:
+                        k = q.dedup_key()
+                        if k not in seen:
+                            seen.add(k)
+                            out.append(q)
+                return out[:n]
+        except Exception:
+            if engine == "native":
+                raise
     if n_workers <= 1:
         s = QuerySampler(graph, np.random.default_rng(seed), max_negs=max_negs)
         return s.sample_many(structure, n, exhaustive_negs)

@@ -1,0 +1,4 @@
+from graphqembed_tpu.native.binding import (  # noqa: F401
+    native_available,
+    native_sample_many,
+)

@@ -84,6 +84,49 @@ class DevicePool:
         self.hard_counts = dev(np.maximum(hard_counts, 1))
 
 
+def device_pool_from_arrays(schema: Schema, arrays: dict,
+                            neg_width: int = 16,
+                            hard_neg_width: int = 16) -> "DevicePool":
+    """Build a DevicePool straight from native_sample_arrays output (no
+    python Query objects in between) — the bulk preprocessing fast path."""
+    structure = arrays["structure"]
+    from graphqembed_tpu.data.queries import STRUCT_SHAPE
+    a, r = STRUCT_SHAPE[structure]
+    n = len(arrays["targets"])
+    pool = DevicePool.__new__(DevicePool)
+    pool.structure = structure
+    pool.n = n
+    dev = jnp.asarray
+    pool.anchors = dev(arrays["anchors"][:, :a])
+    rels = arrays["rels"][:, :r]
+    pool.rels = dev(rels)
+    # intersection mode id per row (−1 for chains)
+    from graphqembed_tpu.config import INTERSECT_STRUCTURES
+    if structure in INTERSECT_STRUCTURES:
+        tm = schema.rel_target_mode_ids()
+        if structure == "ip":
+            im = tm[rels[:, 0]]   # intersection at v = branch rels' to-mode
+        else:
+            im = tm[rels[:, -1]]  # 2i/3i/pi intersect at the target mode
+        pool.inter_modes = dev(im.astype(np.int32))
+    else:
+        pool.inter_modes = dev(np.full(n, -1, np.int32))
+    pool.targets = dev(arrays["targets"])
+    negs = arrays["negs"][:, :neg_width]
+    negc = np.minimum(arrays["neg_counts"], neg_width)
+    pool.negs = dev(np.ascontiguousarray(negs))
+    pool.neg_counts = dev(np.maximum(negc, 1).astype(np.int32))
+    hard = arrays["hard"][:, :hard_neg_width]
+    hardc = np.minimum(arrays["hard_counts"], hard_neg_width)
+    # fall back to plain negatives where no hard pool exists
+    none = hardc == 0
+    hard = np.where(none[:, None], negs[:, :hard_neg_width], hard)
+    hardc = np.where(none, negc, hardc)
+    pool.hard = dev(np.ascontiguousarray(hard))
+    pool.hard_counts = dev(np.maximum(hardc, 1).astype(np.int32))
+    return pool
+
+
 class DeviceTrainData:
     def __init__(self, schema: Schema, queries: list[Query],
                  neg_width: int = 16, hard_neg_width: int = 16):

@@ -181,11 +181,30 @@ def run_train(
     log_every: int = 500,
     on_step=None,
     neighbor_tables=None,
+    ckpt_manager=None,
+    ckpt_every: int = 0,
+    resume: bool = False,
 ) -> TrainResult:
+    """ckpt_manager + ckpt_every enable periodic full-train-state checkpoints
+    (params, optimizer state, host RNG) and restart-from-latest when
+    resume=True — the preemption-recovery path (SURVEY.md §6); the resumed
+    data order is bit-identical (restored numpy RNG state)."""
     optimizer = optax.adam(cfg.lr)
     opt_state = optimizer.init(params)
     step_fn = make_train_step(cfg, optimizer, neighbor_tables)
     data = TrainData(schema, train_queries, cfg.batch_size, seed=cfg.seed)
+
+    start_step = 0
+    if resume and ckpt_manager is not None:
+        restored = ckpt_manager.restore_latest(
+            like={"params": params, "opt_state": opt_state})
+        if restored is not None:
+            state, meta = restored
+            params, opt_state = state["params"], state["opt_state"]
+            start_step = int(meta["step"])
+            if "rng_state" in meta:
+                data.rng = meta["rng_state"]
+            logger.info("resumed from checkpoint at step %d", start_step)
 
     losses: dict[str, list[float]] = {s: [] for s in data.structures}
     ema_losses: list[float] = []  # 1p burn-in convergence track
@@ -199,6 +218,13 @@ def run_train(
     t0 = time.perf_counter()
     n_queries = 0
     step_i = 0
+    if start_step:
+        step_i = start_step
+        # burn-in bookkeeping: a resumed run past max_burn_in goes straight
+        # to multitask (convergence-window history is not persisted)
+        if start_step >= cfg.max_burn_in:
+            multitask = True
+            burn_in_steps = min(start_step, cfg.max_burn_in)
 
     while step_i < cfg.max_iter:
         step_i += 1
@@ -232,6 +258,9 @@ def run_train(
         if step_i % log_every == 0:
             logger.info("step %d [%s%s] loss %.4f", step_i, structure,
                         "/hard" if hard else "", loss)
+
+        if ckpt_manager is not None and ckpt_every and step_i % ckpt_every == 0:
+            ckpt_manager.save(step_i, params, opt_state, rng_state=data.rng)
 
         if val_queries and step_i % cfg.val_every == 0:
             aucs = eval_auc(cfg, params, schema, val_queries, seed=cfg.seed,
