@@ -158,6 +158,12 @@ def bench_oracle(graph, cfg, queries, n_steps=8, warmup=1) -> float:
 
 
 def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_gqe_xla_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     graph, cfg, queries = build_workload()
     jax_qps = bench_jax(graph, cfg, queries)
     oracle_qps = bench_oracle(graph, cfg, queries)

@@ -19,6 +19,8 @@ def main(argv=None):
                    help="dir with reference graph_data.pkl; default: synthetic")
     p.add_argument("--out_dir", type=str, required=True)
     p.add_argument("--synthetic_scale", type=float, default=1.0)
+    p.add_argument("--dataset", type=str, default="bio",
+                   choices=["bio", "reddit"])
     p.add_argument("--n_train", type=int, default=2000, help="per structure")
     p.add_argument("--n_val", type=int, default=200)
     p.add_argument("--n_test", type=int, default=200)
@@ -36,15 +38,20 @@ def main(argv=None):
         save_queries,
     )
     from graphqembed_tpu.data.sampling import QuerySampler, parallel_sample
-    from graphqembed_tpu.graph.synthetic import holdout_edges, synthetic_graph
+    from graphqembed_tpu.graph.synthetic import (
+        holdout_edges,
+        reddit_graph,
+        synthetic_graph,
+    )
 
     structures = (list(STRUCTURES) if args.structures == "all"
                   else args.structures.split(","))
     if args.data_dir:
         graph = import_reference_graph(Path(args.data_dir) / "graph_data.pkl")
     else:
-        graph = synthetic_graph(seed=args.seed, scale=args.synthetic_scale,
-                                avg_degree=8.0)
+        gen = reddit_graph if args.dataset == "reddit" else synthetic_graph
+        graph = gen(seed=args.seed, scale=args.synthetic_scale,
+                    avg_degree=8.0)
     train_graph, held = holdout_edges(graph, args.holdout_frac, args.seed)
     out = Path(args.out_dir)
     out.mkdir(parents=True, exist_ok=True)

@@ -27,6 +27,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic", action="store_true",
                    help="use the deterministic synthetic bio-schema KG")
     p.add_argument("--synthetic_scale", type=float, default=1.0)
+    p.add_argument("--dataset", type=str, default="bio",
+                   choices=["bio", "reddit"],
+                   help="synthetic schema family (the two paper benchmarks)")
     p.add_argument("--n_train_queries", type=int, default=2000,
                    help="per structure, when sampling on the fly (synthetic)")
     p.add_argument("--n_val_queries", type=int, default=200)
@@ -65,12 +68,13 @@ def build_parser() -> argparse.ArgumentParser:
 def load_dataset(args):
     from graphqembed_tpu.data.loader import import_reference_graph, load_queries
     from graphqembed_tpu.data.sampling import QuerySampler
-    from graphqembed_tpu.graph.synthetic import synthetic_graph
+    from graphqembed_tpu.graph.synthetic import reddit_graph, synthetic_graph
     from graphqembed_tpu.config import STRUCTURES
 
     if args.synthetic or args.data_dir is None:
-        graph = synthetic_graph(seed=args.seed, scale=args.synthetic_scale,
-                                avg_degree=8.0)
+        gen = reddit_graph if args.dataset == "reddit" else synthetic_graph
+        graph = gen(seed=args.seed, scale=args.synthetic_scale,
+                    avg_degree=8.0)
         s = QuerySampler(graph, np.random.default_rng(args.seed), max_negs=50)
         train, val = [], []
         for st in STRUCTURES:

@@ -137,6 +137,36 @@ def save_queries(path: str | Path, schema: Schema, queries: list[Query]) -> None
     (path / "manifest.json").write_text(json.dumps(manifest, indent=1))
 
 
+def load_queries_by_formula(path: str | Path) -> dict:
+    """Queries organized by formula — the reference's load_queries_by_formula
+    [R: netquery/data_utils.py (conf=H)]: {structure: {formula: [Query]}}."""
+    from graphqembed_tpu.data.queries import group_by_formula
+
+    out: dict = {}
+    for f, qs in group_by_formula(load_queries(path)).items():
+        out.setdefault(f.structure, {})[f] = qs
+    return out
+
+
+def load_test_queries_by_formula(path: str | Path) -> dict:
+    """Test-query views in the reference's one_neg / full_neg organization
+    [R: netquery/data_utils.py::load_test_queries_by_formula (conf=H)]: this
+    framework stores ONE test set with exhaustive negatives (gqe-sample);
+    'full_neg' is that set as-is (APR protocol) and 'one_neg' is the same
+    queries — eval_auc draws its single negative per positive at eval time
+    with a fixed seed (SURVEY.md §2.6)."""
+    queries = load_queries(path)
+    from graphqembed_tpu.data.queries import group_by_formula
+
+    def by_struct(qs):
+        out: dict = {}
+        for f, g in group_by_formula(qs).items():
+            out.setdefault(f.structure, {})[f] = g
+        return out
+
+    return {"one_neg": by_struct(queries), "full_neg": by_struct(queries)}
+
+
 def load_queries(path: str | Path) -> list[Query]:
     path = Path(path)
     manifest = json.loads((path / "manifest.json").read_text())
