@@ -1,7 +1,8 @@
 """Flagship quality run: full 7-structure protocol on a bio-scale synthetic
 KG, real TPU, reporting AUC/APR (val) and clean-test AUC (generalization over
-held-out edges). Writes RESULTS.md. Run: python experiments/flagship_bio.py
-[--quick]."""
+held-out edges). Uses the device-resident pipeline (bench.py's engine) for
+training with periodic host-side eval + best-checkpoint selection.
+Writes RESULTS.md. Run: python experiments/flagship_bio.py [--quick]."""
 
 from __future__ import annotations
 
@@ -20,7 +21,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--scale", type=float, default=4.0)
-    ap.add_argument("--n_train", type=int, default=5000)
+    ap.add_argument("--n_train", type=int, default=20000)
+    ap.add_argument("--steps", type=int, default=30000)
+    ap.add_argument("--burn_in", type=int, default=6000)
+    ap.add_argument("--lr", type=float, default=0.03)
     ap.add_argument("--out", type=str, default="RESULTS.md")
     args = ap.parse_args()
 
@@ -37,19 +41,22 @@ def main():
     from graphqembed_tpu.data.sampling import QuerySampler, parallel_sample
     from graphqembed_tpu.graph.synthetic import holdout_edges, synthetic_graph
     from graphqembed_tpu.models.params import init_params
-    from graphqembed_tpu.training import eval_apr, eval_auc, run_train
+    from graphqembed_tpu.training import eval_apr, eval_auc
+    from graphqembed_tpu.training.device_data import (
+        DeviceTrainData,
+        make_scan_train_step,
+    )
+    from graphqembed_tpu.training.loop import structure_weight
+    import optax
 
     t_all = time.time()
-    n_train = 600 if args.quick else args.n_train
-    n_val = 100 if args.quick else 500
+    n_train = 2000 if args.quick else args.n_train
+    n_val = 200 if args.quick else 500
     n_test = 50 if args.quick else 300
-    cfg = GQEConfig(
-        embed_dim=128, projection="bilinear", intersection="min",
-        batch_size=512, lr=0.03,
-        max_iter=1500 if args.quick else 15000,
-        max_burn_in=400 if args.quick else 3000,
-        val_every=500 if args.quick else 2000,
-        conv_window=200, tol=1e-7, seed=0)
+    total_steps = 4000 if args.quick else args.steps
+    burn_in = 800 if args.quick else args.burn_in
+    cfg = GQEConfig(embed_dim=128, projection="bilinear", intersection="min",
+                    batch_size=512, lr=args.lr, seed=0)
 
     graph = synthetic_graph(seed=0, scale=args.scale, avg_degree=8.0)
     train_graph, held = holdout_edges(graph, frac=0.1, seed=1)
@@ -61,9 +68,8 @@ def main():
     for st in STRUCTURES:
         qs = parallel_sample(train_graph, st, n_train + n_val, n_workers=8,
                              seed=7, max_negs=50)
-        train += qs[:n_train]
-        val += qs[n_train:n_train + n_val]
-    # clean test queries: answerable on the full graph only
+        train += qs[:-n_val] if len(qs) > n_val else qs
+        val += qs[-n_val:]
     test = []
     for st in STRUCTURES:
         s = QuerySampler(graph, np.random.default_rng(11), max_negs=50)
@@ -72,14 +78,50 @@ def main():
     print(f"sampled {len(train)}/{len(val)}/{len(test)} in {t_sample:.0f}s",
           flush=True)
 
+    data = DeviceTrainData(graph.schema, train)
     params = init_params(cfg, graph.schema, jax.random.key(0))
-    t0 = time.time()
-    res = run_train(cfg, graph.schema, params, train, val_queries=val)
-    t_train = time.time() - t0
-    print(f"trained {res.steps} steps in {t_train:.0f}s "
-          f"({res.queries_per_sec:.0f} q/s)", flush=True)
+    optimizer = optax.adam(cfg.lr)
+    opt_state = optimizer.init(params)
+    scan = make_scan_train_step(cfg, optimizer)
+    key = jax.random.key(0)
 
-    best = res.best_params
+    from graphqembed_tpu.config import INTERSECT_STRUCTURES
+    chunk = 200
+    best_macro, best_params = -1.0, params
+    done = 0
+    round_i = 0
+    t0 = time.time()
+    eval_every = total_steps // 6
+    next_eval = eval_every
+    while done < total_steps:
+        if done < burn_in:
+            order = ["1p"]
+        else:
+            order = data.structures
+        for s in order:
+            if done >= total_steps:
+                break
+            params, opt_state, mloss = scan(
+                params, opt_state, data.pools[s], s,
+                jax.random.fold_in(key, round_i), chunk,
+                structure_weight(cfg, s),
+                s in INTERSECT_STRUCTURES and cfg.hard_neg_alternate)
+            done += chunk
+            round_i += 1
+        if done >= next_eval:
+            next_eval += eval_every
+            aucs = eval_auc(cfg, params, graph.schema, val, seed=3)
+            macro = aucs.get("macro", 0.0)
+            print(f"step {done}: loss {float(mloss):.4f} val macro AUC "
+                  f"{macro:.4f}", flush=True)
+            if macro > best_macro:
+                best_macro = macro
+                best_params = jax.tree.map(lambda x: x.copy(), params)
+    t_train = time.time() - t0
+    qps = done * cfg.batch_size / t_train
+    print(f"trained {done} steps in {t_train:.0f}s ({qps:.0f} q/s)", flush=True)
+
+    best = best_params if best_macro >= 0 else params
     val_auc = eval_auc(cfg, best, graph.schema, val, seed=3)
     val_hard = eval_auc(cfg, best, graph.schema, val, seed=3, hard=True)
     val_apr = eval_apr(cfg, best, graph.schema, val, max_negs=50)
@@ -91,8 +133,9 @@ def main():
                   "held_out_edges": len(held), "scale": args.scale},
         "config": {"projection": cfg.projection, "d": cfg.embed_dim,
                    "batch": cfg.batch_size, "lr": cfg.lr,
-                   "steps": res.steps, "burn_in": res.burn_in_steps},
-        "throughput_queries_per_sec_hostloop": round(res.queries_per_sec, 1),
+                   "steps": done, "burn_in": burn_in,
+                   "n_train_per_structure": n_train},
+        "train_queries_per_sec_per_chip": round(qps, 1),
         "val_auc": r(val_auc), "val_auc_hard": r(val_hard),
         "val_apr": r(val_apr), "clean_test_auc": r(test_auc),
         "wall_s": round(time.time() - t_all, 1),
@@ -107,24 +150,24 @@ def main():
         for st in (*STRUCTURES, "macro"))
     md = f"""# RESULTS — flagship synthetic-bio run (TPU v5e, 1 chip)
 
-Full reference protocol (burn-in → weighted multitask, hard-negative
-alternation, best-val selection) with the bilinear/min operator set, d=128.
+Full protocol (edge burn-in → weighted multitask with hard-negative
+alternation, best-val selection) on the device-resident pipeline;
+bilinear/min operator set, d=128, B=512.
 Graph: {graph.schema.n_nodes} nodes / {graph.num_edges()} directed edges
 (synthetic bio schema; real bio/reddit pickles unavailable offline —
-SURVEY.md §0), 10% edges held out; clean test queries require held-out edges.
+SURVEY.md §0), 10% of edges held out; clean test queries are answerable only
+with held-out edges.
 
 | structure | val AUC | val AUC (hard neg) | val APR | clean-test AUC |
 |---|---|---|---|---|
 {rows}
 
-- train queries: {len(train)} ({n_train}/structure); steps: {res.steps}
-  (burn-in {res.burn_in_steps}); host-loop throughput
-  {res.queries_per_sec:.0f} q/s (the device-resident pipeline in bench.py
-  sustains ~435k q/s on the same chip)
+- train queries: {len(train)} (~{n_train}/structure); steps: {done}
+  (burn-in {burn_in}); sustained training throughput {qps:.0f} queries/s/chip
 - sampling: {t_sample:.0f}s (native C++ engine, 8 threads); training:
   {t_train:.0f}s; total wall: {report['wall_s']}s
 
-Raw JSON: see `RESULTS.json`.
+Raw JSON: `RESULTS.json`.
 """
     Path(args.out).write_text(md)
     Path(args.out).with_suffix(".json").write_text(json.dumps(report, indent=2))

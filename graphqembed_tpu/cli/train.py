@@ -144,9 +144,13 @@ def main(argv=None):
     mgr = None
     if args.ckpt_every or args.resume:
         mgr = CheckpointManager(model_dir / "ckpts", keep=3)
+    from graphqembed_tpu.training.metrics import MetricsWriter
+    writer = MetricsWriter(model_dir, tensorboard=True)
     res = run_train(cfg, graph.schema, params, train, val_queries=val,
                     neighbor_tables=tables, ckpt_manager=mgr,
-                    ckpt_every=args.ckpt_every, resume=args.resume)
+                    ckpt_every=args.ckpt_every, resume=args.resume,
+                    metrics=writer)
+    writer.close()
 
     metrics = {
         "steps": res.steps,

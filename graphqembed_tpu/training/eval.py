@@ -98,12 +98,89 @@ def _batches(schema: Schema, by_formula: dict, batch_size: int, neg_width: int,
                 hard_neg_width=hard_neg_width, rng=rng)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "structure"))
+def _scores_rows(cfg: GQEConfig, params, structure: str, anchors, rels,
+                 inter_modes, targets, negs):
+    """Mixed-formula scoring in ONE dispatch per structure: anchors [N, A],
+    rels [N, R], inter_modes [N], targets [N], negs [N, K] -> (pos [N],
+    neg [N, K]). On a remote-TPU link each host sync costs ~seconds, so eval
+    computes ALL scores on device and transfers once; the per-formula metric
+    aggregation then runs on host (sklearn-equivalent numpy)."""
+    q = gqe.embed_query_rows(cfg, params, structure, anchors, rels,
+                             inter_modes)
+    table = params["table"]
+    pos = gqe.score(q, gqe.encode(table, targets), cfg.scoring)
+    neg = gqe.score(q, gqe.encode(table, negs), cfg.scoring)
+    return pos, neg
+
+
+def _structure_soa(schema, by_formula, neg_width, rng, hard, pad_to):
+    """Pack one structure's queries (all formulas) into padded SoA arrays +
+    per-row formula index. Returns None if no rows survive (e.g. hard=True
+    with no hard negatives anywhere)."""
+    anchors, rels, modes, targets = [], [], [], []
+    negs, nmask, fidx = [], [], []
+    for fi, (f, qs) in enumerate(sorted(by_formula.items(),
+                                        key=lambda kv: kv[0].serialize())):
+        rel_ids = f.rel_ids(schema)
+        im = f.intersection_mode
+        im_id = -1 if im is None else schema.mode_id(im)
+        for q in qs:
+            pool = q.hard_neg_samples if hard else q.neg_samples
+            if pool is None or len(pool) == 0:
+                continue
+            anchors.append(q.anchors)
+            rels.append(rel_ids)
+            modes.append(im_id)
+            targets.append(q.target)
+            row = np.zeros(neg_width, np.int32)
+            m = np.zeros(neg_width, bool)
+            if rng is not None and neg_width == 1:
+                row[0] = pool[rng.integers(0, len(pool))]
+                m[0] = True
+            else:
+                k = min(neg_width, len(pool))
+                row[:k] = pool[:k]
+                m[:k] = True
+            negs.append(row)
+            nmask.append(m)
+            fidx.append(fi)
+    n = len(targets)
+    if n == 0:
+        return None
+    pad = (-n) % pad_to
+    def arr(x, dtype):
+        a = np.asarray(x, dtype)
+        if pad:
+            a = np.concatenate([a, np.repeat(a[:1], pad, axis=0)])
+        return a
+    return {
+        "n": n,
+        "anchors": arr(anchors, np.int32),
+        "rels": arr(rels, np.int32),
+        "modes": arr(modes, np.int32),
+        "targets": arr(targets, np.int32),
+        "negs": arr(negs, np.int32),
+        "nmask": np.asarray(nmask, bool),
+        "fidx": np.asarray(fidx, np.int32),
+    }
+
+
+def _np_auc(pos: np.ndarray, neg: np.ndarray) -> float:
+    """Tie-corrected Mann-Whitney AUC (== sklearn.roc_auc_score)."""
+    gt = (pos[:, None] > neg[None, :]).mean(dtype=np.float64)
+    eq = (pos[:, None] == neg[None, :]).mean(dtype=np.float64)
+    return float(gt + 0.5 * eq)
+
+
 def eval_auc(cfg: GQEConfig, params, schema: Schema, queries: list[Query],
              seed: int = 0, hard: bool = False,
              neighbor_tables=None) -> dict[str, float]:
     """Macro AUC per structure (query-count weighted over formulas) using one
     sampled negative per positive. hard=True scores hard negatives instead
     (intersection structures only). Returns {structure: auc, 'macro': mean}."""
+    if neighbor_tables is None:
+        return _eval_auc_fast(cfg, params, schema, queries, seed, hard)
     rng = np.random.default_rng(seed)
     by_struct: dict[str, dict] = {}
     for f, qs in group_by_formula(queries).items():
@@ -134,11 +211,75 @@ def eval_auc(cfg: GQEConfig, params, schema: Schema, queries: list[Query],
     return out
 
 
+def _eval_auc_fast(cfg: GQEConfig, params, schema: Schema,
+                   queries: list[Query], seed: int, hard: bool
+                   ) -> dict[str, float]:
+    rng = np.random.default_rng(seed)
+    by_struct: dict[str, dict] = {}
+    for f, qs in group_by_formula(queries).items():
+        by_struct.setdefault(f.structure, {})[f] = qs
+    out: dict[str, float] = {}
+    for structure, by_formula in sorted(by_struct.items()):
+        if hard and structure not in INTERSECT_STRUCTURES:
+            continue
+        soa = _structure_soa(schema, by_formula, 1, rng, hard,
+                             pad_to=cfg.eval_batch_size)
+        if soa is None:
+            continue
+        pos, neg = _scores_rows(cfg, params, structure, soa["anchors"],
+                                soa["rels"], soa["modes"], soa["targets"],
+                                soa["negs"])
+        pos = np.asarray(pos)[:soa["n"]]
+        neg = np.asarray(neg)[:soa["n"], 0]
+        num = den = 0.0
+        for fi in np.unique(soa["fidx"]):
+            sel = soa["fidx"] == fi
+            num += _np_auc(pos[sel], neg[sel]) * int(sel.sum())
+            den += int(sel.sum())
+        out[structure] = num / den
+    if out:
+        out["macro"] = float(np.mean([v for k, v in out.items() if k != "macro"]))
+    return out
+
+
+def _eval_apr_fast(cfg: GQEConfig, params, schema: Schema,
+                   queries: list[Query], width: int) -> dict[str, float]:
+    by_struct: dict[str, dict] = {}
+    for f, qs in group_by_formula(queries).items():
+        by_struct.setdefault(f.structure, {})[f] = qs
+    out: dict[str, float] = {}
+    for structure, by_formula in sorted(by_struct.items()):
+        soa = _structure_soa(schema, by_formula, width, None, False,
+                             pad_to=cfg.eval_batch_size)
+        if soa is None:
+            continue
+        pos, neg = _scores_rows(cfg, params, structure, soa["anchors"],
+                                soa["rels"], soa["modes"], soa["targets"],
+                                soa["negs"])
+        pos = np.asarray(pos)[:soa["n"]]
+        neg = np.asarray(neg)[:soa["n"]]
+        m = soa["nmask"].astype(np.float64)
+        lt = (neg < pos[:, None]) * m
+        eq = (neg == pos[:, None]) * m
+        cnt = m.sum(axis=1)
+        pr = np.where(cnt > 0,
+                      (lt.sum(axis=1) + 0.5 * eq.sum(axis=1))
+                      / np.maximum(cnt, 1.0), 0.5)
+        out[structure] = float(pr.mean())
+    if out:
+        out["macro"] = float(np.mean([v for k, v in out.items() if k != "macro"]))
+    return out
+
+
 def eval_apr(cfg: GQEConfig, params, schema: Schema, queries: list[Query],
              max_negs: int | None = None,
              neighbor_tables=None) -> dict[str, float]:
     """Mean percentile rank per structure over full_neg queries (negatives
     truncated to max_negs if given — real bio-scale modes need a cap)."""
+    if neighbor_tables is None:
+        width = max_negs or max(
+            (len(q.neg_samples) for q in queries), default=1)
+        return _eval_apr_fast(cfg, params, schema, queries, width)
     by_struct: dict[str, dict] = {}
     for f, qs in group_by_formula(queries).items():
         by_struct.setdefault(f.structure, {})[f] = qs

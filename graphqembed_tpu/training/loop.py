@@ -184,6 +184,7 @@ def run_train(
     ckpt_manager=None,
     ckpt_every: int = 0,
     resume: bool = False,
+    metrics=None,
 ) -> TrainResult:
     """ckpt_manager + ckpt_every enable periodic full-train-state checkpoints
     (params, optimizer state, host RNG) and restart-from-latest when
@@ -254,6 +255,8 @@ def run_train(
 
         if on_step is not None:
             on_step(step_i, structure, loss)
+        if metrics is not None and step_i % log_every == 0:
+            metrics.write(step_i, **{f"loss/{structure}": loss})
 
         if step_i % log_every == 0:
             logger.info("step %d [%s%s] loss %.4f", step_i, structure,
@@ -267,6 +270,9 @@ def run_train(
                             neighbor_tables=neighbor_tables)
             macro = aucs.get("macro", 0.0)
             val_history.append((step_i, macro))
+            if metrics is not None:
+                metrics.write(step_i, **{f"val_auc/{k}": v
+                                         for k, v in aucs.items()})
             logger.info("step %d val AUC %s", step_i,
                         {k: round(v, 4) for k, v in aucs.items()})
             if macro > best_val:

@@ -57,3 +57,35 @@ def test_percentile_all_masked():
                                      jnp.asarray([[0.0, 0.0]]),
                                      jnp.asarray([[False, False]])))
     np.testing.assert_allclose(pr, [0.5])
+
+
+def test_fast_eval_matches_legacy(graph):
+    """The single-dispatch-per-structure eval path must reproduce the legacy
+    per-formula-batch path exactly (same protocol, same seed)."""
+    import jax
+    from graphqembed_tpu.config import GQEConfig
+    from graphqembed_tpu.data.sampling import QuerySampler
+    from graphqembed_tpu.models.params import init_params
+    from graphqembed_tpu.training import eval_apr, eval_auc
+
+    cfg = GQEConfig(embed_dim=16, projection="distmult", eval_batch_size=64)
+    params = init_params(cfg, graph.schema, jax.random.key(0))
+    s = QuerySampler(graph, np.random.default_rng(0), max_negs=12)
+    queries = []
+    for st in ("1p", "2p", "2i", "ip", "pi"):
+        queries += s.sample_many(st, 40)
+
+    # depth=0 + neighbor_tables sentinel routes to the legacy path with the
+    # same (non-deep) scorer
+    fast = eval_auc(cfg, params, graph.schema, queries, seed=5)
+    legacy = eval_auc(cfg, params, graph.schema, queries, seed=5,
+                      neighbor_tables=object())
+    assert set(fast) == set(legacy)
+    for k in fast:
+        np.testing.assert_allclose(fast[k], legacy[k], atol=5e-4), k
+
+    fast_apr = eval_apr(cfg, params, graph.schema, queries, max_negs=12)
+    legacy_apr = eval_apr(cfg, params, graph.schema, queries, max_negs=12,
+                          neighbor_tables=object())
+    for k in fast_apr:
+        np.testing.assert_allclose(fast_apr[k], legacy_apr[k], atol=5e-4), k

@@ -1,0 +1,54 @@
+"""grain pipeline tests: deterministic batches, correct contents vs saved
+queries, checkpointed iterator resume."""
+
+import numpy as np
+import pytest
+
+from graphqembed_tpu.data.grain_pipeline import make_query_loader
+from graphqembed_tpu.data.loader import save_queries
+from graphqembed_tpu.data.sampling import QuerySampler
+
+
+@pytest.fixture(scope="module")
+def saved(tmp_path_factory, request):
+    graph = request.getfixturevalue("graph")
+    out = tmp_path_factory.mktemp("qs")
+    s = QuerySampler(graph, np.random.default_rng(0), max_negs=12)
+    qs = s.sample_many("2i", 120) + s.sample_many("1p", 120)
+    save_queries(out, graph.schema, qs)
+    return graph, out, qs
+
+
+def test_batches_contents(saved):
+    graph, out, qs = saved
+    loader = make_query_loader(out, graph.schema, "2i", batch_size=16, seed=1)
+    it = iter(loader)
+    valid = {(q.anchors, q.target) for q in qs
+             if q.formula.structure == "2i"}
+    b = next(it)
+    assert b["anchors"].shape == (16, 2) and b["rels"].shape == (16, 2)
+    for i in range(16):
+        assert (tuple(int(x) for x in b["anchors"][i]),
+                int(b["target"][i])) in valid
+
+
+def test_deterministic(saved):
+    graph, out, _ = saved
+    a = next(iter(make_query_loader(out, graph.schema, "1p", 8, seed=5)))
+    b = next(iter(make_query_loader(out, graph.schema, "1p", 8, seed=5)))
+    np.testing.assert_array_equal(a["target"], b["target"])
+    c = next(iter(make_query_loader(out, graph.schema, "1p", 8, seed=6)))
+    assert not np.array_equal(a["target"], c["target"])
+
+
+def test_checkpoint_resume(saved):
+    graph, out, _ = saved
+    loader = make_query_loader(out, graph.schema, "1p", 8, seed=2)
+    it = iter(loader)
+    next(it)
+    state = it.get_state()
+    want = next(it)
+    it2 = iter(loader)
+    it2.set_state(state)
+    got = next(it2)
+    np.testing.assert_array_equal(want["target"], got["target"])
