@@ -99,13 +99,31 @@ def bench_jax(graph, cfg, queries, n_steps=2000, warmup_steps=100,
                 i += 1
             return (params, opt_state)
 
-    state = run(state, warmup_steps, 1000)
-    jax.block_until_ready(state)
-    t0 = time.perf_counter()
-    state = run(state, n_steps, 0)
-    jax.block_until_ready(state)
-    dt = time.perf_counter() - t0
-    return n_steps * cfg.batch_size / dt
+    # Difference timing with a value-read fence: on this deployment the TPU
+    # is behind a tunnel where block_until_ready can return early on fresh
+    # executables and any host value read costs a ~1.7 s round trip. Timing
+    # N and 3N steps and differencing cancels both the RTT and any constant
+    # async-dispatch offset.
+    def timed(n, k0):
+        nonlocal state
+        t0 = time.perf_counter()
+        state = run(state, n, k0)
+        jax.block_until_ready(jax.tree.leaves(state)[0])
+        float(jnp_sum_probe(state))
+        return time.perf_counter() - t0
+
+    import jax.numpy as jnp
+
+    def jnp_sum_probe(state):
+        leaf = jax.tree.leaves(state)[0]
+        return jnp.sum(leaf[:1])
+
+    # marginal window must dwarf the RTT jitter (~2 s): 10x the base window
+    timed(warmup_steps, 1000)
+    t1 = timed(n_steps, 0)
+    t2 = timed(11 * n_steps, 10_000)
+    dt = max(t2 - t1, 1e-9)
+    return 10 * n_steps * cfg.batch_size / dt
 
 
 def bench_oracle(graph, cfg, queries, n_steps=8, warmup=1) -> float:

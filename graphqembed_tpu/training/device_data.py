@@ -201,6 +201,66 @@ def make_scan_train_step(cfg: GQEConfig, optimizer):
     return run
 
 
+def make_scan_train_step_fused(cfg: GQEConfig):
+    """Scan mega-step with the fused Pallas Adam kernel (ops/fused_adam.py):
+    one HBM pass per parameter leaf per step, params/moments aliased in
+    place. Carries (params, mu, nu, count) instead of an optax state.
+    Returns run(params, mu, nu, count, pool, structure, key, n_steps, weight,
+    use_hard) -> (params, mu, nu, count, mean_loss)."""
+    from graphqembed_tpu.ops.fused_adam import fused_adam_tree
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("structure", "n_steps", "use_hard"),
+        donate_argnames=("params", "mu", "nu"),
+    )
+    def scan_fn(params, mu, nu, count, anchors, rels, inter_modes, targets,
+                negs, neg_counts, hard, hard_counts, structure, key, n_steps,
+                weight, use_hard):
+        n = anchors.shape[0]
+        b = cfg.batch_size
+
+        def body(carry, t):
+            params, mu, nu, count = carry
+            k = jax.random.fold_in(key, t)
+            k_idx, k_neg = jax.random.split(k)
+            idx = jax.random.randint(k_idx, (b,), 0, n)
+            j = jax.random.randint(k_neg, (b,), 0, 1 << 30)
+            if use_hard:
+                odd = (t % 2) == 1
+                pool = jnp.where(odd, hard[idx], negs[idx])
+                cnt = jnp.where(odd, hard_counts[idx], neg_counts[idx])
+            else:
+                pool = negs[idx]
+                cnt = neg_counts[idx]
+            neg = jnp.take_along_axis(pool, (j % cnt)[:, None], axis=1)[:, 0]
+
+            def loss_fn(p):
+                return weight * gqe.margin_loss_rows(
+                    cfg, p, structure, anchors[idx], rels[idx],
+                    inter_modes[idx], targets[idx], neg,
+                    jnp.ones(b, jnp.bool_))
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            count = count + 1
+            params, mu, nu = fused_adam_tree(params, grads, mu, nu, count,
+                                             cfg.lr)
+            return (params, mu, nu, count), loss
+
+        (params, mu, nu, count), losses = jax.lax.scan(
+            body, (params, mu, nu, count), jnp.arange(n_steps))
+        return params, mu, nu, count, jnp.mean(losses)
+
+    def run(params, mu, nu, count, pool: DevicePool, structure: str, key,
+            n_steps: int, weight: float, use_hard: bool):
+        return scan_fn(params, mu, nu, count, pool.anchors, pool.rels,
+                       pool.inter_modes, pool.targets, pool.negs,
+                       pool.neg_counts, pool.hard, pool.hard_counts,
+                       structure, key, n_steps, np.float32(weight), use_hard)
+
+    return run
+
+
 def make_scan_train_step_sparse(cfg: GQEConfig, small_optimizer):
     """Sparse-table-update variant of make_scan_train_step: the loss is built
     from GATHERED rows, so table gradients are [B·(A+2), d] row grads (never
