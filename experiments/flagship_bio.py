@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--steps", type=int, default=30000)
     ap.add_argument("--burn_in", type=int, default=6000)
     ap.add_argument("--lr", type=float, default=0.03)
+    ap.add_argument("--lr_schedule", type=str, default="cosine",
+                    choices=["cosine", "constant"])
     ap.add_argument("--out", type=str, default="RESULTS.md")
     args = ap.parse_args()
 
@@ -80,7 +82,11 @@ def main():
 
     data = DeviceTrainData(graph.schema, train)
     params = init_params(cfg, graph.schema, jax.random.key(0))
-    optimizer = optax.adam(cfg.lr)
+    if args.lr_schedule == "cosine":
+        schedule = optax.cosine_decay_schedule(cfg.lr, total_steps, alpha=0.05)
+        optimizer = optax.adam(schedule)
+    else:
+        optimizer = optax.adam(cfg.lr)
     opt_state = optimizer.init(params)
     scan = make_scan_train_step(cfg, optimizer)
     key = jax.random.key(0)

@@ -11,7 +11,6 @@ so every run is reproducible from its saved config (SURVEY.md §6).
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import logging
 from pathlib import Path

@@ -12,7 +12,6 @@ Two paths:
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import numpy as np

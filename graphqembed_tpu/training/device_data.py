@@ -30,7 +30,7 @@ import numpy as np
 import optax
 
 from graphqembed_tpu.config import GQEConfig, INTERSECT_STRUCTURES, STRUCTURES
-from graphqembed_tpu.data.queries import Query, group_by_formula
+from graphqembed_tpu.data.queries import Query
 from graphqembed_tpu.graph.schema import Schema
 from graphqembed_tpu.models import gqe
 

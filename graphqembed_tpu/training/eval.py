@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from graphqembed_tpu.config import GQEConfig, INTERSECT_STRUCTURES
-from graphqembed_tpu.data.queries import Query, QueryBatch, group_by_formula, make_batch
+from graphqembed_tpu.data.queries import Query, group_by_formula, make_batch
 from graphqembed_tpu.graph.schema import Schema
 from graphqembed_tpu.models import gqe
 

@@ -21,7 +21,6 @@ trade-off; the dense path remains available for strict-parity runs
 
 from __future__ import annotations
 
-import dataclasses
 from typing import NamedTuple
 
 import jax
