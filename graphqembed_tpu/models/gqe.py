@@ -204,6 +204,28 @@ def soft_and_margin_loss(cfg: GQEConfig, params: Params, structure: str,
 # pinned by tests (test_rows_path_matches_formula_path).
 
 
+def _gathered_matmul(cfg: GQEConfig, x: jnp.ndarray, ids: jnp.ndarray,
+                     M: jnp.ndarray) -> jnp.ndarray:
+    """y[b] = x[b] @ M[ids[b]] for a stack of small operators M [R, d, e].
+
+    Fast path (R ≤ d): compute x against ALL operators as ONE MXU matmul
+    [B, d] @ [d, R·e] and select each row's result — HBM traffic is
+    B·R·e + R·d·e instead of the per-row gather's B·d·e, and the backward
+    pass is two clean matmuls (dM, dx) instead of a [B, d, e] scatter-add.
+    Measured 10x faster fwd+bwd on v5e at B=512, d=128, R=12
+    (experiments/perf_probe.py). Falls back to the per-row gather + batched
+    einsum when the operator stack is large (R > d), where materializing
+    [B, R, e] would cost more than the gather."""
+    prec = _precision(cfg)
+    r = M.shape[0]
+    if r <= x.shape[-1]:
+        t = jnp.einsum("bd,rde->bre", x, M,
+                       preferred_element_type=jnp.float32, precision=prec)
+        return jnp.take_along_axis(t, ids[:, None, None], axis=1)[:, 0]
+    return jnp.einsum("bd,bde->be", x, M[ids],
+                      preferred_element_type=jnp.float32, precision=prec)
+
+
 def project_rows(cfg: GQEConfig, params: Params, x: jnp.ndarray,
                  rel_ids: jnp.ndarray) -> jnp.ndarray:
     """x [B, d]; rel_ids [B] -> [B, d] with per-row relation parameters."""
@@ -212,19 +234,15 @@ def project_rows(cfg: GQEConfig, params: Params, x: jnp.ndarray,
         return x + p["r"][rel_ids]
     if cfg.projection == "distmult":
         return x * p["w"][rel_ids]
-    return jnp.einsum("bd,bde->be", x, p["W"][rel_ids],
-                      preferred_element_type=jnp.float32,
-                      precision=_precision(cfg))
+    return _gathered_matmul(cfg, x, rel_ids, p["W"])
 
 
 def intersect_rows(cfg: GQEConfig, params: Params, zs: list[jnp.ndarray],
                    mode_ids: jnp.ndarray) -> jnp.ndarray:
     """zs each [B, d]; mode_ids [B] per-row intersection mode."""
     if cfg.learned_intersection:
-        pre = params["inter"]["pre"][mode_ids]  # [B, d, d]
-        hs = [jax.nn.relu(jnp.einsum("bd,bde->be", z, pre,
-                                     preferred_element_type=jnp.float32,
-                                     precision=_precision(cfg)))
+        hs = [jax.nn.relu(_gathered_matmul(cfg, z, mode_ids,
+                                           params["inter"]["pre"]))
               for z in zs]
     else:
         hs = zs
@@ -232,10 +250,7 @@ def intersect_rows(cfg: GQEConfig, params: Params, zs: list[jnp.ndarray],
     agg = (jnp.min(stacked, axis=0) if cfg.intersection == "min"
            else jnp.mean(stacked, axis=0))
     if cfg.learned_intersection:
-        post = params["inter"]["post"][mode_ids]
-        return jnp.einsum("bd,bde->be", agg, post,
-                          preferred_element_type=jnp.float32,
-                          precision=_precision(cfg))
+        return _gathered_matmul(cfg, agg, mode_ids, params["inter"]["post"])
     return agg
 
 
