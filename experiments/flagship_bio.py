@@ -20,6 +20,7 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--dataset", choices=["bio", "reddit"], default="bio")
     ap.add_argument("--scale", type=float, default=4.0)
     ap.add_argument("--n_train", type=int, default=20000)
     ap.add_argument("--steps", type=int, default=30000)
@@ -27,8 +28,10 @@ def main():
     ap.add_argument("--lr", type=float, default=0.03)
     ap.add_argument("--lr_schedule", type=str, default="cosine",
                     choices=["cosine", "constant"])
-    ap.add_argument("--out", type=str, default="RESULTS.md")
+    ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
+    if args.out is None:
+        args.out = "RESULTS.md" if args.dataset == "bio" else "RESULTS_reddit.md"
 
     import jax
 
@@ -41,14 +44,11 @@ def main():
 
     from graphqembed_tpu.config import STRUCTURES, GQEConfig
     from graphqembed_tpu.data.sampling import QuerySampler, parallel_sample
-    from graphqembed_tpu.graph.synthetic import holdout_edges, synthetic_graph
+    from graphqembed_tpu.graph.synthetic import (holdout_edges, reddit_graph,
+                                                 synthetic_graph)
     from graphqembed_tpu.models.params import init_params
     from graphqembed_tpu.training import eval_apr, eval_auc
-    from graphqembed_tpu.training.device_data import (
-        DeviceTrainData,
-        make_scan_train_step,
-    )
-    from graphqembed_tpu.training.loop import structure_weight
+    from graphqembed_tpu.training.device_data import DeviceTrainData
     import optax
 
     t_all = time.time()
@@ -60,7 +60,8 @@ def main():
     cfg = GQEConfig(embed_dim=128, projection="bilinear", intersection="min",
                     batch_size=512, lr=args.lr, seed=0)
 
-    graph = synthetic_graph(seed=0, scale=args.scale, avg_degree=8.0)
+    make_graph = synthetic_graph if args.dataset == "bio" else reddit_graph
+    graph = make_graph(seed=0, scale=args.scale, avg_degree=8.0)
     train_graph, held = holdout_edges(graph, frac=0.1, seed=1)
     print(f"graph: {graph.schema.n_nodes} nodes, {graph.num_edges()} edges, "
           f"{len(held)} held out", flush=True)
@@ -88,42 +89,54 @@ def main():
     else:
         optimizer = optax.adam(cfg.lr)
     opt_state = optimizer.init(params)
-    scan = make_scan_train_step(cfg, optimizer)
     key = jax.random.key(0)
 
-    from graphqembed_tpu.config import INTERSECT_STRUCTURES
-    chunk = 200
+    from graphqembed_tpu.training.device_data import make_multitask_mega_step
+    # Mega-dispatches: entire burn-in / inter-eval segments run as ONE device
+    # dispatch each (the chip is behind a ~1.7 s-RTT tunnel; per-structure
+    # chunk dispatches made the old loop RTT-bound at ~116 steps/s).
+    steps_per = 200  # per structure per round (reference-style round-robin)
+    mega_burn = make_multitask_mega_step(cfg, optimizer, data, ["1p"])
+    mega_all = make_multitask_mega_step(cfg, optimizer, data)
+    n_struct = len(data.structures)
     best_macro, best_params = -1.0, params
     done = 0
-    round_i = 0
-    t0 = time.time()
-    eval_every = total_steps // 6
-    next_eval = eval_every
+    dispatch_i = 0
+    t_train = 0.0
+    t_eval = 0.0
+    eval_every = max(1, (total_steps - burn_in) // 6)
+
+    def timed_mega(fn, rounds):
+        nonlocal t_train, dispatch_i
+        t = time.time()
+        p, o, mloss = fn(params, opt_state,
+                         jax.random.fold_in(key, dispatch_i), rounds,
+                         steps_per)
+        jax.block_until_ready(mloss)
+        t_train += time.time() - t
+        dispatch_i += 1
+        return p, o, mloss
+
+    if burn_in:
+        rounds = max(1, burn_in // steps_per)
+        params, opt_state, mloss = timed_mega(mega_burn, rounds)
+        done += rounds * steps_per
+        print(f"burn-in {done} steps, loss {float(mloss[-1, 0]):.4f}",
+              flush=True)
     while done < total_steps:
-        if done < burn_in:
-            order = ["1p"]
-        else:
-            order = data.structures
-        for s in order:
-            if done >= total_steps:
-                break
-            params, opt_state, mloss = scan(
-                params, opt_state, data.pools[s], s,
-                jax.random.fold_in(key, round_i), chunk,
-                structure_weight(cfg, s),
-                s in INTERSECT_STRUCTURES and cfg.hard_neg_alternate)
-            done += chunk
-            round_i += 1
-        if done >= next_eval:
-            next_eval += eval_every
-            aucs = eval_auc(cfg, params, graph.schema, val, seed=3)
-            macro = aucs.get("macro", 0.0)
-            print(f"step {done}: loss {float(mloss):.4f} val macro AUC "
-                  f"{macro:.4f}", flush=True)
-            if macro > best_macro:
-                best_macro = macro
-                best_params = jax.tree.map(lambda x: x.copy(), params)
-    t_train = time.time() - t0
+        seg = min(eval_every, total_steps - done)
+        rounds = max(1, round(seg / (n_struct * steps_per)))
+        params, opt_state, mloss = timed_mega(mega_all, rounds)
+        done += rounds * n_struct * steps_per
+        t = time.time()
+        aucs = eval_auc(cfg, params, graph.schema, val, seed=3)
+        t_eval += time.time() - t
+        macro = aucs.get("macro", 0.0)
+        print(f"step {done}: loss {float(mloss[-1].mean()):.4f} "
+              f"val macro AUC {macro:.4f}", flush=True)
+        if macro > best_macro:
+            best_macro = macro
+            best_params = jax.tree.map(lambda x: x.copy(), params)
     qps = done * cfg.batch_size / t_train
     print(f"trained {done} steps in {t_train:.0f}s ({qps:.0f} q/s)", flush=True)
 
@@ -135,6 +148,7 @@ def main():
 
     r = lambda d: {k: round(v, 4) for k, v in d.items()}
     report = {
+        "dataset": args.dataset,
         "graph": {"nodes": graph.schema.n_nodes, "edges": graph.num_edges(),
                   "held_out_edges": len(held), "scale": args.scale},
         "config": {"projection": cfg.projection, "d": cfg.embed_dim,
@@ -144,6 +158,7 @@ def main():
         "train_queries_per_sec_per_chip": round(qps, 1),
         "val_auc": r(val_auc), "val_auc_hard": r(val_hard),
         "val_apr": r(val_apr), "clean_test_auc": r(test_auc),
+        "train_s": round(t_train, 1), "eval_s": round(t_eval, 1),
         "wall_s": round(time.time() - t_all, 1),
     }
     print(json.dumps(report, indent=2), flush=True)
@@ -154,13 +169,13 @@ def main():
         f"| {val_apr.get(st, float('nan')):.3f} "
         f"| {test_auc.get(st, float('nan')):.3f} |"
         for st in (*STRUCTURES, "macro"))
-    md = f"""# RESULTS — flagship synthetic-bio run (TPU v5e, 1 chip)
+    md = f"""# RESULTS — flagship synthetic-{args.dataset} run (TPU v5e, 1 chip)
 
 Full protocol (edge burn-in → weighted multitask with hard-negative
 alternation, best-val selection) on the device-resident pipeline;
 bilinear/min operator set, d=128, B=512.
 Graph: {graph.schema.n_nodes} nodes / {graph.num_edges()} directed edges
-(synthetic bio schema; real bio/reddit pickles unavailable offline —
+(synthetic {args.dataset} schema; real bio/reddit pickles unavailable offline —
 SURVEY.md §0), 10% of edges held out; clean test queries are answerable only
 with held-out edges.
 
@@ -171,7 +186,7 @@ with held-out edges.
 - train queries: {len(train)} (~{n_train}/structure); steps: {done}
   (burn-in {burn_in}); sustained training throughput {qps:.0f} queries/s/chip
 - sampling: {t_sample:.0f}s (native C++ engine, 8 threads); training:
-  {t_train:.0f}s; total wall: {report['wall_s']}s
+  {t_train:.0f}s; in-loop eval: {t_eval:.0f}s; total wall: {report['wall_s']}s
 
 Raw JSON: `RESULTS.json`.
 """

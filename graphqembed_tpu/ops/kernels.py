@@ -71,7 +71,7 @@ def gather_normalize(table: jnp.ndarray, ids: jnp.ndarray,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_steps,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((tb, d), lambda i, ids_ref: (i, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
@@ -168,7 +168,7 @@ def sddmm_scores(q: jnp.ndarray, table: jnp.ndarray, cands: jnp.ndarray,
             in_specs=[
                 pl.BlockSpec((tb, d), lambda i, c_ref: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((tb, k), lambda i, c_ref: (i, 0),
                                    memory_space=pltpu.VMEM),

@@ -98,20 +98,36 @@ def _batches(schema: Schema, by_formula: dict, batch_size: int, neg_width: int,
                 hard_neg_width=hard_neg_width, rng=rng)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "structure"))
-def _scores_rows(cfg: GQEConfig, params, structure: str, anchors, rels,
-                 inter_modes, targets, negs):
-    """Mixed-formula scoring in ONE dispatch per structure: anchors [N, A],
-    rels [N, R], inter_modes [N], targets [N], negs [N, K] -> (pos [N],
-    neg [N, K]). On a remote-TPU link each host sync costs ~seconds, so eval
-    computes ALL scores on device and transfers once; the per-formula metric
-    aggregation then runs on host (sklearn-equivalent numpy)."""
+def _scores_rows_impl(cfg: GQEConfig, params, structure: str, anchors, rels,
+                      inter_modes, targets, negs):
     q = gqe.embed_query_rows(cfg, params, structure, anchors, rels,
                              inter_modes)
     table = params["table"]
     pos = gqe.score(q, gqe.encode(table, targets), cfg.scoring)
     neg = gqe.score(q, gqe.encode(table, negs), cfg.scoring)
     return pos, neg
+
+
+_scores_rows = functools.partial(jax.jit, static_argnames=("cfg", "structure"))(
+    _scores_rows_impl)
+_scores_rows.__doc__ = """Mixed-formula scoring in ONE dispatch per structure:
+anchors [N, A], rels [N, R], inter_modes [N], targets [N], negs [N, K] ->
+(pos [N], neg [N, K])."""
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "structures"))
+def _scores_rows_multi(cfg: GQEConfig, params, structures: tuple, *arrays):
+    """ALL structures' scores in ONE dispatch: arrays is 5 arrays per
+    structure (anchors, rels, modes, targets, negs). On a remote-TPU link each
+    dispatch costs ~seconds of RTT, so a whole eval pass is a single program +
+    a single transfer; the per-formula metric aggregation then runs on host
+    (sklearn-equivalent numpy)."""
+    out = []
+    for i, s in enumerate(structures):
+        anchors, rels, modes, targets, negs = arrays[5 * i:5 * i + 5]
+        out.append(_scores_rows_impl(cfg, params, s, anchors, rels, modes,
+                                     targets, negs))
+    return tuple(out)
 
 
 def _structure_soa(schema, by_formula, neg_width, rng, hard, pad_to):
@@ -218,17 +234,21 @@ def _eval_auc_fast(cfg: GQEConfig, params, schema: Schema,
     by_struct: dict[str, dict] = {}
     for f, qs in group_by_formula(queries).items():
         by_struct.setdefault(f.structure, {})[f] = qs
-    out: dict[str, float] = {}
+    soas: dict[str, dict] = {}
     for structure, by_formula in sorted(by_struct.items()):
         if hard and structure not in INTERSECT_STRUCTURES:
             continue
         soa = _structure_soa(schema, by_formula, 1, rng, hard,
                              pad_to=cfg.eval_batch_size)
-        if soa is None:
-            continue
-        pos, neg = _scores_rows(cfg, params, structure, soa["anchors"],
-                                soa["rels"], soa["modes"], soa["targets"],
-                                soa["negs"])
+        if soa is not None:
+            soas[structure] = soa
+    if not soas:
+        return {}
+    flat = [soas[s][k] for s in soas
+            for k in ("anchors", "rels", "modes", "targets", "negs")]
+    scores = _scores_rows_multi(cfg, params, tuple(soas), *flat)
+    out: dict[str, float] = {}
+    for (structure, soa), (pos, neg) in zip(soas.items(), scores):
         pos = np.asarray(pos)[:soa["n"]]
         neg = np.asarray(neg)[:soa["n"], 0]
         num = den = 0.0
@@ -237,8 +257,7 @@ def _eval_auc_fast(cfg: GQEConfig, params, schema: Schema,
             num += _np_auc(pos[sel], neg[sel]) * int(sel.sum())
             den += int(sel.sum())
         out[structure] = num / den
-    if out:
-        out["macro"] = float(np.mean([v for k, v in out.items() if k != "macro"]))
+    out["macro"] = float(np.mean(list(out.values())))
     return out
 
 
@@ -247,15 +266,19 @@ def _eval_apr_fast(cfg: GQEConfig, params, schema: Schema,
     by_struct: dict[str, dict] = {}
     for f, qs in group_by_formula(queries).items():
         by_struct.setdefault(f.structure, {})[f] = qs
-    out: dict[str, float] = {}
+    soas: dict[str, dict] = {}
     for structure, by_formula in sorted(by_struct.items()):
         soa = _structure_soa(schema, by_formula, width, None, False,
                              pad_to=cfg.eval_batch_size)
-        if soa is None:
-            continue
-        pos, neg = _scores_rows(cfg, params, structure, soa["anchors"],
-                                soa["rels"], soa["modes"], soa["targets"],
-                                soa["negs"])
+        if soa is not None:
+            soas[structure] = soa
+    if not soas:
+        return {}
+    flat = [soas[s][k] for s in soas
+            for k in ("anchors", "rels", "modes", "targets", "negs")]
+    scores = _scores_rows_multi(cfg, params, tuple(soas), *flat)
+    out: dict[str, float] = {}
+    for (structure, soa), (pos, neg) in zip(soas.items(), scores):
         pos = np.asarray(pos)[:soa["n"]]
         neg = np.asarray(neg)[:soa["n"]]
         m = soa["nmask"].astype(np.float64)

@@ -14,6 +14,7 @@ from graphqembed_tpu.models import gqe
 from graphqembed_tpu.models.params import init_params
 from graphqembed_tpu.training.device_data import (
     DeviceTrainData,
+    make_multitask_mega_step,
     make_scan_train_step,
     run_train_device,
 )
@@ -56,6 +57,47 @@ def test_scan_step_trains(graph):
                                      jax.random.fold_in(key, i), 50, 1.0, False)
     assert float(l1) < 0.6 * float(l0), (float(l0), float(l1))
     assert np.isfinite(np.asarray(params["table"])).all()
+
+
+def test_mega_step_matches_sequential(graph):
+    """One multitask mega-dispatch is bitwise-equal to the equivalent
+    sequence of single-structure scan dispatches (same key discipline)."""
+    from graphqembed_tpu.config import INTERSECT_STRUCTURES
+    from graphqembed_tpu.training.loop import structure_weight
+
+    cfg = GQEConfig(embed_dim=32, projection="bilinear", batch_size=32,
+                    lr=0.03, seed=0)
+    s = QuerySampler(graph, np.random.default_rng(3), max_negs=10)
+    queries = []
+    for st in STRUCTURES:
+        queries += s.sample_many(st, 60)
+    data = DeviceTrainData(graph.schema, queries)
+    optimizer = optax.adam(cfg.lr)
+    key = jax.random.key(7)
+    n_rounds, steps_per = 2, 5
+
+    p1 = init_params(cfg, graph.schema, jax.random.key(2))
+    o1 = optimizer.init(p1)
+    mega = make_multitask_mega_step(cfg, optimizer, data)
+    p1, o1, losses = mega(p1, o1, key, n_rounds, steps_per)
+    assert losses.shape == (n_rounds, len(data.structures))
+
+    p2 = init_params(cfg, graph.schema, jax.random.key(2))
+    o2 = optimizer.init(p2)
+    scan = make_scan_train_step(cfg, optimizer)
+    seq_losses = np.zeros((n_rounds, len(data.structures)), np.float32)
+    for r in range(n_rounds):
+        kr = jax.random.fold_in(key, r)
+        for si, st in enumerate(data.structures):
+            p2, o2, ml = scan(
+                p2, o2, data.pools[st], st, jax.random.fold_in(kr, si),
+                steps_per, structure_weight(cfg, st),
+                st in INTERSECT_STRUCTURES and cfg.hard_neg_alternate)
+            seq_losses[r, si] = float(ml)
+
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(losses), seq_losses)
 
 
 def test_run_train_device_multitask(graph):
