@@ -22,6 +22,7 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--dataset", choices=["bio", "reddit"], default="bio")
     ap.add_argument("--scale", type=float, default=4.0)
+    ap.add_argument("--avg_degree", type=float, default=8.0)
     ap.add_argument("--n_train", type=int, default=20000)
     ap.add_argument("--steps", type=int, default=30000)
     ap.add_argument("--burn_in", type=int, default=6000)
@@ -61,7 +62,7 @@ def main():
                     batch_size=512, lr=args.lr, seed=0)
 
     make_graph = synthetic_graph if args.dataset == "bio" else reddit_graph
-    graph = make_graph(seed=0, scale=args.scale, avg_degree=8.0)
+    graph = make_graph(seed=0, scale=args.scale, avg_degree=args.avg_degree)
     train_graph, held = holdout_edges(graph, frac=0.1, seed=1)
     print(f"graph: {graph.schema.n_nodes} nodes, {graph.num_edges()} edges, "
           f"{len(held)} held out", flush=True)

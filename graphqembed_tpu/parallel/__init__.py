@@ -7,4 +7,7 @@ from graphqembed_tpu.parallel.mesh import (  # noqa: F401
     shard_params,
     table_sharding,
 )
-from graphqembed_tpu.parallel.train_step import make_sharded_train_step  # noqa: F401
+from graphqembed_tpu.parallel.train_step import (  # noqa: F401
+    make_sharded_scan_train_step,
+    make_sharded_train_step,
+)

@@ -77,3 +77,88 @@ def make_sharded_train_step(cfg: GQEConfig, optimizer, mesh, params_like: dict):
                             np.int32(inter_mode_id), np.float32(weight))
 
     return sharded_step
+
+
+def make_sharded_scan_train_step(cfg: GQEConfig, optimizer, mesh):
+    """Sharded version of training/device_data.py::make_scan_train_step: the
+    scan mega-step (n_steps per dispatch, on-device batch selection from an
+    HBM-resident query pool) compiled by GSPMD over `mesh` — DP over the
+    batch dim (with_sharding_constraint on the selected rows) + row-sharded
+    embedding table; XLA inserts the table-gather collectives and the grad
+    psum. This is the multi-chip production path: the single-chip pipeline's
+    dispatch economics (whole training segments per dispatch) with the
+    sharding of make_sharded_train_step.
+
+    Numerics match the single-device scan up to f32 reduction order (the DP
+    psum reassociates the batch loss sum) — pinned by
+    test_sharded_scan_matches_single_device.
+
+    Returns run(params, opt_state, pool, structure, key, n_steps, weight,
+    use_hard) -> (params, opt_state, mean_loss). params must already be
+    sharded (parallel.shard_params); pool arrays may live on one device —
+    they are placed replicated at the first call."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from graphqembed_tpu.parallel.mesh import batch_sharding
+
+    b_sh = batch_sharding(mesh, 1)
+    b = cfg.batch_size
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("structure", "n_steps", "use_hard"),
+        donate_argnames=("params", "opt_state"),
+    )
+    def scan_fn(params, opt_state, anchors, rels, inter_modes, targets, negs,
+                neg_counts, hard, hard_counts, structure, key, n_steps,
+                weight, use_hard):
+        n = anchors.shape[0]
+
+        def body(carry, t):
+            params, opt_state = carry
+            k = jax.random.fold_in(key, t)
+            k_idx, k_neg = jax.random.split(k)
+            idx = jax.random.randint(k_idx, (b,), 0, n)
+            idx = jax.lax.with_sharding_constraint(idx, b_sh)  # DP split
+            j = jax.random.randint(k_neg, (b,), 0, 1 << 30)
+            if use_hard:
+                odd = (t % 2) == 1
+                pool = jnp.where(odd, hard[idx], negs[idx])
+                cnt = jnp.where(odd, hard_counts[idx], neg_counts[idx])
+            else:
+                pool = negs[idx]
+                cnt = neg_counts[idx]
+            neg = jnp.take_along_axis(pool, (j % cnt)[:, None], axis=1)[:, 0]
+
+            def loss_fn(p):
+                return weight * gqe.margin_loss_rows(
+                    cfg, p, structure, anchors[idx], rels[idx],
+                    inter_modes[idx], targets[idx], neg,
+                    jnp.ones(b, jnp.bool_))
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), jnp.arange(n_steps))
+        return params, opt_state, jnp.mean(losses)
+
+    rep = replicated(mesh)
+    _placed: dict = {}
+
+    def run(params, opt_state, pool, structure: str, key, n_steps: int,
+            weight: float, use_hard: bool):
+        if id(pool) not in _placed:
+            _placed[id(pool)] = tuple(
+                jax.device_put(x, rep) for x in
+                (pool.anchors, pool.rels, pool.inter_modes, pool.targets,
+                 pool.negs, pool.neg_counts, pool.hard, pool.hard_counts))
+        arrs = _placed[id(pool)]
+        return scan_fn(params, opt_state, *arrs, structure, key, n_steps,
+                       np.float32(weight), use_hard)
+
+    return run
