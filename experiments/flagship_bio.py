@@ -74,10 +74,13 @@ def main():
                              seed=7, max_negs=50)
         train += qs[:-n_val] if len(qs) > n_val else qs
         val += qs[-n_val:]
+        print(f"  sampled {st}: {len(qs)} train/val ({time.time()-t0:.0f}s)",
+              flush=True)
     test = []
     for st in STRUCTURES:
         s = QuerySampler(graph, np.random.default_rng(11), max_negs=50)
         test += s.sample_many(st, n_test, train_graph=train_graph)
+        print(f"  sampled {st}: clean test ({time.time()-t0:.0f}s)", flush=True)
     t_sample = time.time() - t0
     print(f"sampled {len(train)}/{len(val)}/{len(test)} in {t_sample:.0f}s",
           flush=True)

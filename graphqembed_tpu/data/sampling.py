@@ -69,6 +69,57 @@ def answers(graph: Graph, formula: Formula, anchors: tuple[int, ...]) -> set[int
     return joined
 
 
+def is_answer(graph: Graph, formula: Formula, anchors: tuple[int, ...],
+              tgt: int) -> bool:
+    """Membership test `tgt ∈ answers(...)` WITHOUT materializing the answer
+    set — meet-in-the-middle from the anchors and the target, O(degree) per
+    hop instead of O(degree^hops). Equivalent to `tgt in answers(...)` (pinned
+    by test_is_answer_matches_answers); the full set on a 100k-node
+    degree-40 graph costs ~64k set inserts for 3p, which made clean-test
+    sampling take hours."""
+    s, r = formula.structure, formula.rels
+    g = graph
+
+    def rev(rel):
+        return reverse_relation(rel)
+
+    if s == "1p":
+        return g.has_edge(anchors[0], r[0], tgt)
+    if s == "2p":
+        f = g.neighbors(anchors[0], r[0])
+        b = g.neighbors(tgt, rev(r[1]))
+        return bool(np.intersect1d(f, b, assume_unique=False).size)
+    if s == "3p":
+        f = g.neighbors(anchors[0], r[0])
+        b = np.sort(g.neighbors(tgt, rev(r[2])))
+        if not f.size or not b.size:
+            return False
+        for v in f:
+            mids = g.neighbors(int(v), r[1])
+            if mids.size and np.isin(mids, b, assume_unique=False).any():
+                return True
+        return False
+    if s == "2i":
+        return (g.has_edge(anchors[0], r[0], tgt)
+                and g.has_edge(anchors[1], r[1], tgt))
+    if s == "3i":
+        return all(g.has_edge(anchors[i], r[i], tgt) for i in range(3))
+    if s == "pi":
+        if not g.has_edge(anchors[1], r[2], tgt):
+            return False
+        f = g.neighbors(anchors[0], r[0])
+        b = g.neighbors(tgt, rev(r[1]))
+        return bool(np.intersect1d(f, b).size)
+    if s == "ip":
+        v = np.intersect1d(g.neighbors(anchors[0], r[0]),
+                           g.neighbors(anchors[1], r[1]))
+        if not v.size:
+            return False
+        b = g.neighbors(tgt, rev(r[2]))
+        return bool(np.intersect1d(v, b).size)
+    raise ValueError(s)
+
+
 def hard_negatives(graph: Graph, formula: Formula, anchors: tuple[int, ...],
                    ans: set[int]) -> set[int]:
     """Nodes satisfying ≥1 but not all branches (SURVEY.md §2.2)."""
@@ -117,7 +168,9 @@ class QuerySampler:
         for r in self.live_rels:
             self.in_rels[r[2]].append(r)
 
-    # -- structure walkers: return (formula, anchors, target) or None --
+    # -- structure walkers: return (formula, anchors, target, walked_edges)
+    #    or None; walked_edges are the concrete (src, rel, dst) triples of
+    #    the witness path, used for the clean-test pre-filter in sample() --
 
     def _walk(self, structure: str):
         g, rng = self.g, self.rng
@@ -129,6 +182,7 @@ class QuerySampler:
             src = _pick(rng, g.nodes_with_out_edges(rel))
             tgt = _pick(rng, g.neighbors(src, rel))
             chain = [rel]
+            edges = [(src, rel, tgt)]
             cur = src  # extend backwards from the anchor end
             for _ in range(n_hops - 1):
                 got = _sample_in_edge(g, rng, cur, self.in_rels[g.schema.mode_of(cur)])
@@ -136,8 +190,9 @@ class QuerySampler:
                     return None
                 rel_in, prev = got
                 chain.insert(0, rel_in)
+                edges.insert(0, (prev, rel_in, cur))
                 cur = prev
-            return Formula(structure, tuple(chain)), (cur,), tgt
+            return Formula(structure, tuple(chain)), (cur,), tgt, edges
         if structure in ("2i", "3i"):
             k = int(structure[0])
             rel0 = self.live_rels[rng.integers(0, len(self.live_rels))]
@@ -152,7 +207,8 @@ class QuerySampler:
             rng.shuffle(pairs)
             rels = tuple(p[0] for p in pairs)
             anchors = tuple(p[1] for p in pairs)
-            return Formula(structure, rels), anchors, tgt
+            edges = [(a, r, tgt) for r, a in pairs]
+            return Formula(structure, rels), anchors, tgt, edges
         if structure == "pi":
             # t with chain branch (a1 -r1→ v -r2→ t) and edge branch (a2 -r3→ t)
             rel2 = self.live_rels[rng.integers(0, len(self.live_rels))]
@@ -166,7 +222,8 @@ class QuerySampler:
             rel3, a2 = got3
             if (rel3, a2) == (rel2, v):  # degenerate: edge branch == chain tail
                 return None
-            return Formula("pi", (rel1, rel2, rel3)), (a1, a2), tgt
+            edges = [(a1, rel1, v), (v, rel2, tgt), (a2, rel3, tgt)]
+            return Formula("pi", (rel1, rel2, rel3)), (a1, a2), tgt, edges
         if structure == "ip":
             # v with two in-branches, then v -r3→ t
             rel3 = self.live_rels[rng.integers(0, len(self.live_rels))]
@@ -177,7 +234,8 @@ class QuerySampler:
             if got1 is None or got2 is None or got1 == got2:
                 return None
             (rel1, a1), (rel2, a2) = got1, got2
-            return Formula("ip", (rel1, rel2, rel3)), (a1, a2), tgt
+            edges = [(a1, rel1, v), (a2, rel2, v), (v, rel3, tgt)]
+            return Formula("ip", (rel1, rel2, rel3)), (a1, a2), tgt, edges
         raise ValueError(structure)
 
     def _negatives(self, formula: Formula, ans: set[int],
@@ -210,11 +268,21 @@ class QuerySampler:
             got = self._walk(structure)
             if got is None:
                 continue
-            formula, anchors, tgt = got
+            formula, anchors, tgt, walked = got
+            if train_graph is not None:
+                # Pre-filter (exact, not heuristic): if every walked edge
+                # survives in the train graph, that very path answers the
+                # query on the train graph, so the expensive unanswerability
+                # check below would reject it anyway. At 10% holdout this
+                # skips ~70-90% of tries before any answer-set computation —
+                # without it, clean-test sampling on the paper-scale graph
+                # (100k nodes, degree 40) took hours.
+                if all(train_graph.has_edge(s, r, d) for s, r, d in walked):
+                    continue
+                if is_answer(train_graph, formula, anchors, tgt):
+                    continue
             ans = answers(self.g, formula, anchors)
             assert tgt in ans
-            if train_graph is not None and tgt in answers(train_graph, formula, anchors):
-                continue
             negs = self._negatives(formula, ans, self.rng, exhaustive_negs)
             if len(negs) == 0:
                 continue

@@ -77,7 +77,9 @@ def intersect(cfg: GQEConfig, params: Params, zs: list[jnp.ndarray],
     """Deep-set intersection of branch embeddings zs (each [B, d])."""
     if cfg.use_pallas and cfg.learned_intersection:
         # fused Pallas kernel: relu(z@pre) → Φ → @post in one VMEM-resident
-        # call — measured ~2.6x faster than the XLA fusion on v5e
+        # call. Measured ~tie with XLA's own fusion on v5e (85 vs 94 TFLOP/s
+        # at k=3, B=4096; experiments/kernel_bench.py) — kept as an opt-in
+        # capability, not the default
         from graphqembed_tpu.ops.kernels import fused_intersection
         return fused_intersection(jnp.stack(zs),
                                   params["inter"]["pre"][mode_id],

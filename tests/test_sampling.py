@@ -96,3 +96,21 @@ def test_formula_mode_accessors(graph):
             assert f.intersection_mode == f.target_mode
         else:
             assert f.intersection_mode is None
+
+
+def test_is_answer_matches_answers(graph):
+    """Meet-in-the-middle membership == full answer-set membership, for true
+    answers, walked targets, and random same-mode nodes."""
+    from graphqembed_tpu.data.sampling import QuerySampler, answers, is_answer
+
+    rng = np.random.default_rng(9)
+    s = QuerySampler(graph, rng, max_negs=10)
+    for structure in STRUCTURES:
+        for q in s.sample_many(structure, 25):
+            ans = answers(graph, q.formula, q.anchors)
+            lo, hi = graph.schema.mode_range(q.formula.target_mode)
+            probes = {q.target, *rng.integers(lo, hi, 12).tolist()}
+            probes |= set(list(ans)[:5])
+            for t in probes:
+                assert is_answer(graph, q.formula, q.anchors, int(t)) == \
+                    (t in ans), (structure, t)
