@@ -22,16 +22,19 @@ import numpy as np
 
 def measure(n_devices: int, cfg, graph, queries, n_steps: int = 60,
             warmup: int = 10) -> dict:
+    """Throughput of the GSPMD scan mega-step (the production multi-chip
+    path: on-device batch selection, whole chunks per dispatch) on an
+    n_devices mesh, alternating 2p / 3i chunks."""
     import jax
     import optax
 
     from graphqembed_tpu.models.params import init_params
     from graphqembed_tpu.parallel import (
         make_mesh,
-        make_sharded_train_step,
+        make_sharded_scan_train_step,
         shard_params,
     )
-    from graphqembed_tpu.training import TrainData
+    from graphqembed_tpu.training.device_data import DeviceTrainData
     from graphqembed_tpu.training.metrics import EDGES_PER_QUERY
 
     mesh = make_mesh(n_devices)
@@ -39,23 +42,26 @@ def measure(n_devices: int, cfg, graph, queries, n_steps: int = 60,
         init_params(cfg, graph.schema, jax.random.key(0)), mesh)
     optimizer = optax.adam(cfg.lr)
     opt_state = optimizer.init(params)
-    step = make_sharded_train_step(cfg, optimizer, mesh, params)
-    data = TrainData(graph.schema, queries, cfg.batch_size, seed=0)
-    batches = [(s, data.sample_batch(s)) for s in ("2p", "3i")
-               for _ in range(4)]
+    scan = make_sharded_scan_train_step(cfg, optimizer, mesh)
+    data = DeviceTrainData(graph.schema, queries)
+    key = jax.random.key(0)
+    chunk = max(10, n_steps // 4)
 
-    def run(params, opt_state, n):
-        for i in range(n):
-            s, (rels, anchors, targets, negs, mask, im) = batches[
-                i % len(batches)]
-            params, opt_state, _ = step(params, opt_state, s, rels, anchors,
-                                        targets, negs, mask, im, 1.0)
+    def run(params, opt_state, n, k0):
+        done, i = 0, 0
+        while done < n:
+            s = ("2p", "3i")[i % 2]
+            params, opt_state, _ = scan(
+                params, opt_state, data.pools[s], s,
+                jax.random.fold_in(key, k0 + i), chunk, 1.0, s == "3i")
+            done += chunk
+            i += 1
         return params, opt_state
 
-    params, opt_state = run(params, opt_state, warmup)
+    params, opt_state = run(params, opt_state, warmup, 1000)
     jax.block_until_ready(params)
     t0 = time.perf_counter()
-    params, opt_state = run(params, opt_state, n_steps)
+    params, opt_state = run(params, opt_state, n_steps, 0)
     jax.block_until_ready(params)
     dt = time.perf_counter() - t0
     qps = n_steps * cfg.batch_size / dt

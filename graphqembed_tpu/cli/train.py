@@ -57,6 +57,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model_dir", type=str, default="runs/latest")
     p.add_argument("--log_dir", type=str, default=None)
     p.add_argument("--cpu", action="store_true", help="force JAX_PLATFORMS=cpu")
+    p.add_argument("--pipeline", type=str, default="host",
+                   choices=["host", "device"],
+                   help="host: reference-schedule loop (per-formula batches, "
+                        "convergence stopping, checkpoints/resume). device: "
+                        "device-resident mega-dispatch pipeline — the fast "
+                        "production path (~9x on a tunneled chip); no "
+                        "convergence stopping or depth>0 yet")
     p.add_argument("--ckpt_every", type=int, default=0,
                    help="save full train state every N steps (0 = off)")
     p.add_argument("--resume", action="store_true",
@@ -145,10 +152,24 @@ def main(argv=None):
         mgr = CheckpointManager(model_dir / "ckpts", keep=3)
     from graphqembed_tpu.training.metrics import MetricsWriter
     writer = MetricsWriter(model_dir, tensorboard=True)
-    res = run_train(cfg, graph.schema, params, train, val_queries=val,
-                    neighbor_tables=tables, ckpt_manager=mgr,
-                    ckpt_every=args.ckpt_every, resume=args.resume,
-                    metrics=writer)
+    if args.pipeline == "device":
+        if cfg.depth > 0:
+            raise SystemExit("--pipeline device does not support --depth > 0 "
+                             "yet; use --pipeline host")
+        from graphqembed_tpu.training.device_data import (
+            DeviceTrainData,
+            run_train_device_mega,
+        )
+        data = DeviceTrainData(graph.schema, train)
+        res = run_train_device_mega(
+            cfg, graph.schema, params, data, val_queries=val,
+            log=lambda step, s, l: logging.info(
+                "step %d [%s] loss %.4f", step, s, l))
+    else:
+        res = run_train(cfg, graph.schema, params, train, val_queries=val,
+                        neighbor_tables=tables, ckpt_manager=mgr,
+                        ckpt_every=args.ckpt_every, resume=args.resume,
+                        metrics=writer)
     writer.close()
 
     metrics = {

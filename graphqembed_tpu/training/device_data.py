@@ -427,6 +427,89 @@ def make_multitask_mega_step(cfg: GQEConfig, optimizer,
     return run
 
 
+def run_train_device_mega(cfg: GQEConfig, schema: Schema, params: dict,
+                          data: DeviceTrainData, val_queries=None,
+                          total_steps: int | None = None,
+                          burn_in_steps: int | None = None,
+                          steps_per: int = 100, key=None, optimizer=None,
+                          log=None):
+    """High-level device-resident training: burn-in then multitask rounds,
+    each burn-in / inter-eval segment as ONE mega-dispatch
+    (make_multitask_mega_step) — the dispatch-economical production driver
+    behind the flagship runs and `gqe-train --pipeline device`. Evaluates on
+    val_queries every ~cfg.val_every steps (rounded to dispatch boundaries)
+    and keeps the best params. Returns a training/loop.py::TrainResult."""
+    import time
+
+    from graphqembed_tpu.training.eval import eval_auc
+    from graphqembed_tpu.training.loop import TrainResult
+
+    total_steps = total_steps if total_steps is not None else cfg.max_iter
+    burn_in_steps = (burn_in_steps if burn_in_steps is not None
+                     else min(cfg.max_burn_in, total_steps))
+    optimizer = optimizer or optax.adam(cfg.lr)
+    opt_state = optimizer.init(params)
+    key = key if key is not None else jax.random.key(cfg.seed)
+    mega_burn = (make_multitask_mega_step(cfg, optimizer, data, ["1p"])
+                 if "1p" in data.pools else None)
+    mega_all = make_multitask_mega_step(cfg, optimizer, data)
+    n_struct = len(data.structures)
+    losses: dict[str, list[float]] = {s: [] for s in data.structures}
+    val_history: list[tuple[int, float]] = []
+    best_macro, best_params = -1.0, params
+    done = 0
+    dispatch_i = 0
+    t_train = 0.0
+
+    def dispatch(fn, rounds, structures):
+        nonlocal done, dispatch_i, t_train
+        t0 = time.time()
+        p, o, mloss = fn(params, opt_state,
+                         jax.random.fold_in(key, dispatch_i), rounds,
+                         steps_per)
+        jax.block_until_ready(mloss)
+        t_train += time.time() - t0
+        dispatch_i += 1
+        done += rounds * len(structures) * steps_per
+        ml = np.asarray(mloss)  # [rounds, n_structures]
+        for si, s in enumerate(structures):
+            losses[s].extend(ml[:, si].tolist())
+        return p, o
+
+    if burn_in_steps and mega_burn is not None:
+        rounds = max(1, burn_in_steps // steps_per)
+        params, opt_state = dispatch(mega_burn, rounds, ["1p"])
+        if log:
+            log(done, "1p", losses["1p"][-1])
+    actual_burn_in = done
+    eval_every = max(1, min(cfg.val_every, total_steps - done)
+                     ) if total_steps > done else 1
+    while done < total_steps:
+        seg = min(eval_every, total_steps - done)
+        rounds = max(1, round(seg / (n_struct * steps_per)))
+        params, opt_state = dispatch(mega_all, rounds, data.structures)
+        if val_queries:
+            aucs = eval_auc(cfg, params, schema, val_queries, seed=cfg.seed)
+            macro = aucs.get("macro", 0.0)
+            val_history.append((done, macro))
+            if macro > best_macro:
+                best_macro = macro
+                best_params = jax.tree.map(lambda x: x.copy(), params)
+        if log:
+            log(done, "multitask", float(np.mean(
+                [losses[s][-1] for s in data.structures])))
+    return TrainResult(
+        params=params,
+        best_params=best_params if best_macro >= 0 else params,
+        best_val_auc=best_macro,
+        steps=done,
+        burn_in_steps=actual_burn_in,
+        losses=losses,
+        val_history=val_history,
+        queries_per_sec=(done * cfg.batch_size / t_train) if t_train else 0.0,
+    )
+
+
 def run_train_device(cfg: GQEConfig, schema: Schema, params: dict,
                      data: DeviceTrainData, total_steps: int,
                      burn_in_steps: int = 0, chunk: int = 50,

@@ -116,3 +116,30 @@ def test_run_train_device_multitask(graph):
     assert all(np.isfinite(v).all() for v in losses.values() if v)
     # burn-in chunks trained 1p only: first two chunks are 1p
     assert len(losses["1p"]) >= 2
+
+
+def test_run_train_device_mega(graph):
+    """High-level mega-dispatch driver: burn-in + multitask + best-val
+    selection returns a TrainResult with sane fields and finite params."""
+    from graphqembed_tpu.training.device_data import run_train_device_mega
+
+    cfg = GQEConfig(embed_dim=32, projection="bilinear", batch_size=64,
+                    lr=0.03, seed=0, max_iter=400, max_burn_in=100,
+                    val_every=150)
+    s = QuerySampler(graph, np.random.default_rng(4), max_negs=10)
+    train, val = [], []
+    for st in STRUCTURES:
+        qs = s.sample_many(st, 100)
+        train += qs[:80]
+        val += qs[80:]
+    data = DeviceTrainData(graph.schema, train)
+    params = init_params(cfg, graph.schema, jax.random.key(2))
+    res = run_train_device_mega(cfg, graph.schema, params, data,
+                                val_queries=val, steps_per=10)
+    assert res.steps >= cfg.max_iter
+    assert res.burn_in_steps == 100
+    assert res.best_val_auc > 0
+    assert res.val_history
+    assert set(res.losses) == set(STRUCTURES)
+    for leaf in jax.tree.leaves(res.best_params):
+        assert np.isfinite(np.asarray(leaf)).all()
