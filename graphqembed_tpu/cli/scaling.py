@@ -56,15 +56,17 @@ def measure(n_devices: int, cfg, graph, queries, n_steps: int = 60,
                 jax.random.fold_in(key, k0 + i), chunk, 1.0, s == "3i")
             done += chunk
             i += 1
-        return params, opt_state
+        return params, opt_state, done
 
-    params, opt_state = run(params, opt_state, warmup, 1000)
+    params, opt_state, _ = run(params, opt_state, warmup, 1000)
     jax.block_until_ready(params)
     t0 = time.perf_counter()
-    params, opt_state = run(params, opt_state, n_steps, 0)
+    params, opt_state, done = run(params, opt_state, n_steps, 0)
     jax.block_until_ready(params)
     dt = time.perf_counter() - t0
-    qps = n_steps * cfg.batch_size / dt
+    # `done` (not n_steps): the chunked loop may overshoot the request, and
+    # crediting only n_steps would systematically understate throughput.
+    qps = done * cfg.batch_size / dt
     epq = np.mean([EDGES_PER_QUERY["2p"], EDGES_PER_QUERY["3i"]])
     return {"devices": n_devices, "queries_per_sec": round(qps, 1),
             "edges_per_sec": round(qps * epq, 1)}

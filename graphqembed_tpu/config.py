@@ -63,7 +63,12 @@ class GQEConfig:
     gather_capacity_factor: float = 2.0  # all-to-all per-owner capacity slack
 
     # --- kernels ---
-    use_pallas: bool = False         # Pallas kernels vs pure-jnp reference ops
+    # Gates ONLY the per-formula intersect() path (models/gqe.py::intersect);
+    # the production rows paths and device pipelines use XLA fusion, which the
+    # speed-of-light audit (docs/DESIGN.md §3) found at-roofline for these
+    # shapes. The fused Adam kernel is selected separately
+    # (make_scan_train_step_fused), not by this flag.
+    use_pallas: bool = False
 
     def __post_init__(self):
         assert self.projection in PROJECTION_KINDS, self.projection

@@ -66,15 +66,25 @@ def make_sharded_train_step(cfg: GQEConfig, optimizer, mesh, params_like: dict):
         )
 
     rels_s = rep
+    # Keyed on the opt-state tree structure + leaf shapes/dtypes so a second
+    # optimizer (or param set) gets its own sharding assignment instead of
+    # silently reusing the first compile's.
     _cache: dict = {}
+
+    def _opt_key(opt_state):
+        leaves, treedef = jax.tree.flatten(opt_state)
+        return (treedef,
+                tuple((getattr(x, "shape", ()), str(getattr(x, "dtype", "")))
+                      for x in leaves))
 
     def sharded_step(params, opt_state, structure, rels, anchors, targets,
                      negs, row_mask, inter_mode_id, weight):
-        if "fn" not in _cache:
-            _cache["fn"] = compile_step(opt_state)
-        return _cache["fn"](params, opt_state, structure, rels, anchors,
-                            targets, negs, row_mask,
-                            np.int32(inter_mode_id), np.float32(weight))
+        k = _opt_key(opt_state)
+        if k not in _cache:
+            _cache[k] = compile_step(opt_state)
+        return _cache[k](params, opt_state, structure, rels, anchors,
+                         targets, negs, row_mask,
+                         np.int32(inter_mode_id), np.float32(weight))
 
     return sharded_step
 
@@ -148,17 +158,21 @@ def make_sharded_scan_train_step(cfg: GQEConfig, optimizer, mesh):
         return params, opt_state, jnp.mean(losses)
 
     rep = replicated(mesh)
-    _placed: dict = {}
 
     def run(params, opt_state, pool, structure: str, key, n_steps: int,
             weight: float, use_hard: bool):
-        if id(pool) not in _placed:
-            _placed[id(pool)] = tuple(
+        # Placed arrays are stashed ON the pool (not in an id()-keyed dict):
+        # object identity can be recycled after GC, which would silently
+        # substitute a stale pool's data, and a side dict would pin the
+        # replicated HBM copies past the pool's lifetime.
+        cached = getattr(pool, "_replicated", None)
+        if cached is None or cached[0] != rep:
+            placed = tuple(
                 jax.device_put(x, rep) for x in
                 (pool.anchors, pool.rels, pool.inter_modes, pool.targets,
                  pool.negs, pool.neg_counts, pool.hard, pool.hard_counts))
-        arrs = _placed[id(pool)]
-        return scan_fn(params, opt_state, *arrs, structure, key, n_steps,
+            pool._replicated = cached = (rep, placed)
+        return scan_fn(params, opt_state, *cached[1], structure, key, n_steps,
                        np.float32(weight), use_hard)
 
     return run

@@ -498,6 +498,13 @@ def run_train_device_mega(cfg: GQEConfig, schema: Schema, params: dict,
         if log:
             log(done, "multitask", float(np.mean(
                 [losses[s][-1] for s in data.structures])))
+    if val_queries and not val_history:
+        # Burn-in consumed the whole budget (or total_steps == 0): evaluate
+        # once so best_val_auc is never a meaningless -1.
+        aucs = eval_auc(cfg, params, schema, val_queries, seed=cfg.seed)
+        macro = aucs.get("macro", 0.0)
+        val_history.append((done, macro))
+        best_macro, best_params = macro, params
     return TrainResult(
         params=params,
         best_params=best_params if best_macro >= 0 else params,

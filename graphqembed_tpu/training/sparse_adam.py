@@ -15,8 +15,8 @@ Semantics match torch.optim.SparseAdam (the standard choice for embedding
 tables), NOT dense Adam: dense Adam also applies a small momentum-tail update
 to untouched rows each step. That tail decays geometrically (gone in ~30
 steps at β1=0.9) and forgoing it is the standard embedding-training
-trade-off; the dense path remains available for strict-parity runs
-(GQEConfig.table_update = "dense").
+trade-off; the dense path (make_scan_train_step's optax.adam over the whole
+param tree) remains available for strict-parity runs.
 """
 
 from __future__ import annotations
