@@ -184,12 +184,15 @@ def run_train(
     ckpt_every: int = 0,
     resume: bool = False,
     metrics=None,
+    optimizer=None,
 ) -> TrainResult:
     """ckpt_manager + ckpt_every enable periodic full-train-state checkpoints
     (params, optimizer state, host RNG) and restart-from-latest when
     resume=True — the preemption-recovery path (SURVEY.md §6); the resumed
-    data order is bit-identical (restored numpy RNG state)."""
-    optimizer = optax.adam(cfg.lr)
+    data order is bit-identical (restored numpy RNG state). optimizer
+    defaults to dense Adam (the reference's choice); injectable for parity
+    tests against the oracle trainer."""
+    optimizer = optimizer or optax.adam(cfg.lr)
     opt_state = optimizer.init(params)
     step_fn = make_train_step(cfg, optimizer, neighbor_tables)
     data = TrainData(schema, train_queries, cfg.batch_size, seed=cfg.seed)

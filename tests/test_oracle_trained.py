@@ -1,0 +1,122 @@
+"""Oracle-TRAINED parity (SURVEY.md §7's operational quality bar): the JAX
+framework, trained with the exact §2.5 protocol, must match the eager-torch
+oracle trained with the same protocol on the same data — same TrainData batch
+schedule, same eval negative-selection — per structure.
+
+Two levels:
+- step-level: N full train steps (sampler + margin loss + dense Adam) leave
+  oracle and JAX parameters allclose — pins optimizer+gradient parity through
+  the REAL loop, not just one backward pass (test_model_parity.py covers that).
+- metric-level: a moderate-budget run reaches the same per-structure val AUC
+  within a small tolerance.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from graphqembed_tpu.config import GQEConfig
+from graphqembed_tpu.data.sampling import QuerySampler
+from graphqembed_tpu.graph.synthetic import synthetic_graph
+from graphqembed_tpu.models.params import init_params, params_to_numpy
+from graphqembed_tpu.oracle.train import (
+    eval_auc_oracle,
+    run_train_oracle,
+)
+from graphqembed_tpu.training.eval import eval_auc
+from graphqembed_tpu.training.loop import run_train
+
+
+def _dataset(structures, n_per, seed=0, scale=0.5, max_negs=30):
+    g = synthetic_graph(seed=seed, scale=scale, avg_degree=8.0)
+    s = QuerySampler(g, np.random.default_rng(seed), max_negs=max_negs)
+    train, val = [], []
+    for st in structures:
+        qs = s.sample_many(st, n_per)
+        n_tr = int(0.8 * n_per)
+        train += qs[:n_tr]
+        val += qs[n_tr:]
+    return g, train, val
+
+
+def _jax_params(p_np):
+    return jax.tree.map(jax.numpy.asarray, p_np)
+
+
+def test_train_steps_match_oracle():
+    """20 full protocol steps under SGD: identical batches (shared TrainData
+    semantics at the same seed) mean params must stay allclose. SGD, not
+    Adam: Adam's normalization amplifies fp32 sign-noise in near-zero
+    gradient components to full ±lr divergence, so it cannot pin step-level
+    trajectory parity (gradient parity itself is pinned by
+    test_model_parity.py; converged-quality parity by the test below)."""
+    import optax
+    import torch
+
+    cfg = GQEConfig(embed_dim=16, batch_size=32, max_iter=20, max_burn_in=8,
+                    val_every=10**9, tol=0.0, conv_window=10**6, lr=0.05)
+    g, train, _ = _dataset(("1p", "2i"), 150)
+    p0 = params_to_numpy(init_params(cfg, g.schema, jax.random.key(cfg.seed)))
+
+    res_o = run_train_oracle(
+        cfg, g.schema, p0, train,
+        make_optimizer=lambda leaves: torch.optim.SGD(leaves, lr=cfg.lr))
+    res_j = run_train(cfg, g.schema, _jax_params(p0), train,
+                      optimizer=optax.sgd(cfg.lr))
+    assert res_o.steps == res_j.steps == 20
+
+    flat_o = jax.tree.leaves(res_o.params)
+    flat_j = [np.asarray(x) for x in jax.tree.leaves(res_j.params)]
+    for a, b in zip(flat_o, flat_j):
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_trained_auc_matches_oracle():
+    """The quality bar (SURVEY.md §7): full 7-structure protocol at the
+    budget test_full_multitask_protocol proved sufficient; JAX must land
+    within 0.03 macro / 0.06 per structure of the oracle-trained AUC (Adam
+    trajectories diverge from fp32 rounding, so converged metric parity —
+    not trajectory parity — is the contract).
+    experiments/oracle_parity.py runs the full-scale version."""
+    from graphqembed_tpu.config import STRUCTURES
+    from graphqembed_tpu.graph.synthetic import synthetic_graph
+
+    g = synthetic_graph(seed=7, scale=0.25, avg_degree=6.0)
+    cfg = GQEConfig(embed_dim=32, projection="bilinear", batch_size=128,
+                    max_iter=2000, max_burn_in=400, val_every=1000,
+                    conv_window=100, tol=0.0, lr=0.03, seed=2)
+    s = QuerySampler(g, np.random.default_rng(0), max_negs=30)
+    train, val = [], []
+    for st in STRUCTURES:
+        # 200 val queries per structure: at n=40 the per-structure AUC
+        # standard error (~0.09) swamps the 0.06 parity tolerance
+        qs = s.sample_many(st, 800)
+        train += qs[:600]
+        val += qs[600:]
+    p0 = params_to_numpy(init_params(cfg, g.schema, jax.random.key(1)))
+
+    res_o = run_train_oracle(cfg, g.schema, p0, train, val_queries=val)
+    res_j = run_train(cfg, g.schema, _jax_params(p0), train, val_queries=val)
+
+    auc_o = eval_auc_oracle(cfg, res_o.best_params, g.schema, val, seed=9)
+    auc_j = eval_auc(cfg, res_j.best_params, g.schema, val, seed=9)
+    assert auc_o["macro"] > 0.6  # the bar itself must be above chance
+    for k, v in auc_o.items():
+        tol = 0.03 if k == "macro" else 0.06
+        assert abs(v - auc_j[k]) < tol, (k, v, auc_j[k])
+
+
+def test_oracle_eval_matches_jax_eval_same_params():
+    """Same (untrained) params scored by both eval stacks: the oracle's
+    eval_auc_oracle must reproduce training/eval.py::eval_auc exactly (same
+    rng consumption, same per-formula weighting) up to fp32-vs-fp64 scoring
+    noise at ties."""
+    cfg = GQEConfig(embed_dim=16, batch_size=32)
+    g, _, val = _dataset(("1p", "2p", "2i", "3i", "ip", "pi", "3p"), 60)
+    p0 = params_to_numpy(init_params(cfg, g.schema, jax.random.key(0)))
+    a_o = eval_auc_oracle(cfg, p0, g.schema, val, seed=3)
+    a_j = eval_auc(cfg, _jax_params(p0), g.schema, val, seed=3)
+    assert set(a_o) == set(a_j)
+    for k in a_o:
+        assert abs(a_o[k] - a_j[k]) < 5e-3, (k, a_o[k], a_j[k])
