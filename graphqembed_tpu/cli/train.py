@@ -59,11 +59,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cpu", action="store_true", help="force JAX_PLATFORMS=cpu")
     p.add_argument("--pipeline", type=str, default="host",
                    choices=["host", "device"],
-                   help="host: reference-schedule loop (per-formula batches, "
-                        "convergence stopping, checkpoints/resume). device: "
-                        "device-resident mega-dispatch pipeline — the fast "
-                        "production path (~9x on a tunneled chip); no "
-                        "convergence stopping or depth>0 yet")
+                   help="host: reference-schedule loop (per-formula "
+                        "batches). device: device-resident mega-dispatch "
+                        "pipeline — the fast production path (~9x on a "
+                        "tunneled chip). Both support convergence stopping, "
+                        "checkpoints/--resume, and --depth > 0")
     p.add_argument("--ckpt_every", type=int, default=0,
                    help="save full train state every N steps (0 = off)")
     p.add_argument("--resume", action="store_true",
@@ -153,18 +153,23 @@ def main(argv=None):
     from graphqembed_tpu.training.metrics import MetricsWriter
     writer = MetricsWriter(model_dir, tensorboard=True)
     if args.pipeline == "device":
-        if cfg.depth > 0:
-            raise SystemExit("--pipeline device does not support --depth > 0 "
-                             "yet; use --pipeline host")
         from graphqembed_tpu.training.device_data import (
             DeviceTrainData,
             run_train_device_mega,
         )
         data = DeviceTrainData(graph.schema, train)
+        # dispatch granularity: 100 steps/structure/round for production
+        # budgets, proportionally finer for small --max_iter so rounding to
+        # dispatch boundaries doesn't overshoot the budget by multiples
+        steps_per = max(1, min(100, args.max_iter // 20))
         res = run_train_device_mega(
             cfg, graph.schema, params, data, val_queries=val,
-            log=lambda step, s, l: logging.info(
-                "step %d [%s] loss %.4f", step, s, l))
+            steps_per=steps_per,
+            neighbor_tables=tables, ckpt_manager=mgr,
+            ckpt_every=args.ckpt_every, resume=args.resume,
+            log=lambda step, s, l: (
+                logging.info("step %d [%s] loss %.4f", step, s, l),
+                writer.write(step, **{f"loss/{s}": l}))[0])
     else:
         res = run_train(cfg, graph.schema, params, train, val_queries=val,
                         neighbor_tables=tables, ckpt_manager=mgr,

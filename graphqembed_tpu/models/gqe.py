@@ -258,11 +258,12 @@ def intersect_rows(cfg: GQEConfig, params: Params, zs: list[jnp.ndarray],
 
 def embed_query_rows(cfg: GQEConfig, params: Params, structure: str,
                      anchors: jnp.ndarray, rels: jnp.ndarray,
-                     inter_modes: jnp.ndarray) -> jnp.ndarray:
+                     inter_modes: jnp.ndarray, encode_fn=None) -> jnp.ndarray:
     """Mixed-formula query embedding: anchors [B, A], rels [B, R],
-    inter_modes [B] -> [B, d]."""
-    table = params["table"]
-    e = lambda i: encode(table, anchors[:, i])
+    inter_modes [B] -> [B, d]. encode_fn overrides the node encoder (depth>0
+    SAGE via models/encoders.py::make_deep_encoder), as in embed_query."""
+    enc = encode_fn or (lambda ids: encode(params["table"], ids))
+    e = lambda i: enc(anchors[:, i])
     P = lambda x, i: project_rows(cfg, params, x, rels[:, i])
     I = lambda zs: intersect_rows(cfg, params, zs, inter_modes)
     if structure == "1p":
@@ -324,11 +325,13 @@ def margin_loss_from_rows(cfg: GQEConfig, params: Params, structure: str,
 def margin_loss_rows(cfg: GQEConfig, params: Params, structure: str,
                      anchors: jnp.ndarray, rels: jnp.ndarray,
                      inter_modes: jnp.ndarray, targets: jnp.ndarray,
-                     negs: jnp.ndarray, row_mask: jnp.ndarray) -> jnp.ndarray:
-    q = embed_query_rows(cfg, params, structure, anchors, rels, inter_modes)
-    table = params["table"]
-    pos = score(q, encode(table, targets), cfg.scoring)
-    neg = score(q, encode(table, negs), cfg.scoring)
+                     negs: jnp.ndarray, row_mask: jnp.ndarray,
+                     encode_fn=None) -> jnp.ndarray:
+    enc = encode_fn or (lambda ids: encode(params["table"], ids))
+    q = embed_query_rows(cfg, params, structure, anchors, rels, inter_modes,
+                         encode_fn)
+    pos = score(q, enc(targets), cfg.scoring)
+    neg = score(q, enc(negs), cfg.scoring)
     per_row = jax.nn.relu(cfg.margin - pos + neg)
     w = row_mask.astype(per_row.dtype)
     return jnp.sum(per_row * w) / jnp.maximum(jnp.sum(w), 1.0)

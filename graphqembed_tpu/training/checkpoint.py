@@ -64,6 +64,22 @@ class CheckpointManager:
             extra["rng_state"] = _rng_state_to_json(rng_state)
         save_checkpoint(self.root / f"step_{step:08d}", params, step,
                         opt_state=opt_state, extra=extra)
+        self._prune()
+
+    def save_state(self, step: int, state: dict,
+                   extra: dict | None = None) -> None:
+        """Arbitrary-state variant (the device pipeline checkpoints
+        {params, opt_state, best_params}; its resume counter state is plain
+        JSON in `extra` — no host RNG exists there, batch selection is
+        counter-based on device)."""
+        path = (self.root / f"step_{step:08d}").absolute()
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path / "state", state, force=True)
+        (path / "meta.json").write_text(
+            json.dumps({"step": step, **(extra or {})}))
+        self._prune()
+
+    def _prune(self) -> None:
         dirs = sorted(d for d in self.root.iterdir()
                       if d.name.startswith("step_"))
         for d in dirs[:-self.keep]:

@@ -331,7 +331,8 @@ def make_scan_train_step_sparse(cfg: GQEConfig, small_optimizer):
 
 def make_multitask_mega_step(cfg: GQEConfig, optimizer,
                              data: DeviceTrainData,
-                             structures: list[str] | None = None):
+                             structures: list[str] | None = None,
+                             neighbor_tables=None):
     """Whole multitask ROUNDS in one dispatch: for each of n_rounds, every
     structure takes steps_per weighted train steps (hard-negative alternation
     on intersection structures). One dispatch replaces len(structures) *
@@ -345,6 +346,12 @@ def make_multitask_mega_step(cfg: GQEConfig, optimizer,
     sequence of single-structure dispatches (pinned by
     test_mega_step_matches_sequential).
 
+    neighbor_tables (models/encoders.py::NeighborTables, a registered pytree)
+    enables the depth>0 SAGE encoder inside the scan; it is passed as a jit
+    ARGUMENT, not a closure, so the (possibly tens-of-MB) neighbor arrays are
+    device operands rather than literal constants in the serialized program
+    (remote compiles reject large constants — docs/DESIGN.md §7).
+
     Returns run(params, opt_state, key, n_rounds, steps_per)
     -> (params, opt_state, losses [n_rounds, n_structures])."""
     from graphqembed_tpu.training.loop import structure_weight
@@ -356,8 +363,8 @@ def make_multitask_mega_step(cfg: GQEConfig, optimizer,
     pools = [data.pools[s] for s in structures]
     b = cfg.batch_size
 
-    def one_structure(params, opt_state, key_s, arrays, structure, weight,
-                      use_hard, steps_per):
+    def one_structure(params, opt_state, key_s, arrays, tables, structure,
+                      weight, use_hard, steps_per):
         anchors, rels, inter_modes, targets, negs, neg_counts, hard, \
             hard_counts = arrays
         n = anchors.shape[0]
@@ -378,10 +385,17 @@ def make_multitask_mega_step(cfg: GQEConfig, optimizer,
             neg = jnp.take_along_axis(pool, (j % cnt)[:, None], axis=1)[:, 0]
 
             def loss_fn(p):
+                encode_fn = None
+                if cfg.depth > 0 and tables is not None:
+                    from graphqembed_tpu.models.encoders import (
+                        make_deep_encoder,
+                    )
+                    encode_fn = make_deep_encoder(cfg, p, tables, cfg.depth,
+                                                  cfg.aggregator)
                 return weight * gqe.margin_loss_rows(
                     cfg, p, structure, anchors[idx], rels[idx],
                     inter_modes[idx], targets[idx], neg,
-                    jnp.ones(b, jnp.bool_))
+                    jnp.ones(b, jnp.bool_), encode_fn=encode_fn)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -397,7 +411,8 @@ def make_multitask_mega_step(cfg: GQEConfig, optimizer,
         static_argnames=("n_rounds", "steps_per"),
         donate_argnames=("params", "opt_state"),
     )
-    def mega(params, opt_state, key, n_rounds, steps_per, *flat_pools):
+    def mega(params, opt_state, key, tables, n_rounds, steps_per,
+             *flat_pools):
         per_struct = [flat_pools[i * 8:(i + 1) * 8]
                       for i in range(len(structures))]
 
@@ -408,7 +423,8 @@ def make_multitask_mega_step(cfg: GQEConfig, optimizer,
             for si, s in enumerate(structures):
                 params, opt_state, ml = one_structure(
                     params, opt_state, jax.random.fold_in(kr, si),
-                    per_struct[si], s, weights[si], use_hards[si], steps_per)
+                    per_struct[si], tables, s, weights[si], use_hards[si],
+                    steps_per)
                 losses.append(ml)
             return (params, opt_state), jnp.stack(losses)
 
@@ -422,7 +438,8 @@ def make_multitask_mega_step(cfg: GQEConfig, optimizer,
                  p.neg_counts, p.hard, p.hard_counts]
 
     def run(params, opt_state, key, n_rounds: int, steps_per: int):
-        return mega(params, opt_state, key, n_rounds, steps_per, *flat)
+        return mega(params, opt_state, key, neighbor_tables, n_rounds,
+                    steps_per, *flat)
 
     return run
 
@@ -432,17 +449,32 @@ def run_train_device_mega(cfg: GQEConfig, schema: Schema, params: dict,
                           total_steps: int | None = None,
                           burn_in_steps: int | None = None,
                           steps_per: int = 100, key=None, optimizer=None,
-                          log=None):
+                          log=None, neighbor_tables=None,
+                          ckpt_manager=None, ckpt_every: int = 0,
+                          resume: bool = False):
     """High-level device-resident training: burn-in then multitask rounds,
     each burn-in / inter-eval segment as ONE mega-dispatch
     (make_multitask_mega_step) — the dispatch-economical production driver
     behind the flagship runs and `gqe-train --pipeline device`. Evaluates on
     val_queries every ~cfg.val_every steps (rounded to dispatch boundaries)
-    and keeps the best params. Returns a training/loop.py::TrainResult."""
+    and keeps the best params. Returns a training/loop.py::TrainResult.
+
+    Production features (parity with the host pipeline, at dispatch
+    granularity by design — the unit of work here is a segment, not a step):
+    - convergence stopping: loop.py::check_conv over the per-dispatch-round
+      mean loss series, window rounded from cfg.conv_window steps to rounds
+      (burn-in: 1p rounds of steps_per; multitask: rounds of
+      n_struct*steps_per);
+    - checkpoint/resume: ckpt_manager + ckpt_every save (params, opt_state,
+      best_params) at the first dispatch boundary past each multiple;
+      resume restores and continues bit-identically — batch selection is
+      counter-based (fold_in(key, dispatch_i)), so no host RNG state exists;
+    - depth>0: neighbor_tables threads the SAGE encoder into the scan.
+    """
     import time
 
     from graphqembed_tpu.training.eval import eval_auc
-    from graphqembed_tpu.training.loop import TrainResult
+    from graphqembed_tpu.training.loop import TrainResult, check_conv
 
     total_steps = total_steps if total_steps is not None else cfg.max_iter
     burn_in_steps = (burn_in_steps if burn_in_steps is not None
@@ -450,16 +482,39 @@ def run_train_device_mega(cfg: GQEConfig, schema: Schema, params: dict,
     optimizer = optimizer or optax.adam(cfg.lr)
     opt_state = optimizer.init(params)
     key = key if key is not None else jax.random.key(cfg.seed)
-    mega_burn = (make_multitask_mega_step(cfg, optimizer, data, ["1p"])
+    mega_burn = (make_multitask_mega_step(cfg, optimizer, data, ["1p"],
+                                          neighbor_tables)
                  if "1p" in data.pools else None)
-    mega_all = make_multitask_mega_step(cfg, optimizer, data)
+    mega_all = make_multitask_mega_step(cfg, optimizer, data,
+                                        neighbor_tables=neighbor_tables)
     n_struct = len(data.structures)
     losses: dict[str, list[float]] = {s: [] for s in data.structures}
+    burn_series: list[float] = []   # per-round 1p mean losses
+    multi_series: list[float] = []  # per-round mean multitask losses
     val_history: list[tuple[int, float]] = []
-    best_macro, best_params = -1.0, params
+    # a COPY: `params` is donated to the first dispatch, and best_params must
+    # stay live for checkpointing even before the first eval replaces it
+    best_macro = -1.0
+    best_params = jax.tree.map(lambda x: x.copy(), params)
     done = 0
     dispatch_i = 0
+    actual_burn_in = 0
     t_train = 0.0
+    last_ckpt = 0
+
+    if resume and ckpt_manager is not None:
+        restored = ckpt_manager.restore_latest(
+            like={"params": params, "opt_state": opt_state,
+                  "best_params": params})
+        if restored is not None:
+            state, meta = restored
+            params = state["params"]
+            opt_state = state["opt_state"]
+            best_params = state["best_params"]
+            done = last_ckpt = int(meta["step"])
+            dispatch_i = int(meta["dispatch_i"])
+            actual_burn_in = int(meta.get("burn_in_steps", 0))
+            best_macro = float(meta.get("best_macro", -1.0))
 
     def dispatch(fn, rounds, structures):
         nonlocal done, dispatch_i, t_train
@@ -474,34 +529,65 @@ def run_train_device_mega(cfg: GQEConfig, schema: Schema, params: dict,
         ml = np.asarray(mloss)  # [rounds, n_structures]
         for si, s in enumerate(structures):
             losses[s].extend(ml[:, si].tolist())
-        return p, o
+        return p, o, ml
 
-    if burn_in_steps and mega_burn is not None:
-        rounds = max(1, burn_in_steps // steps_per)
-        params, opt_state = dispatch(mega_burn, rounds, ["1p"])
-        if log:
-            log(done, "1p", losses["1p"][-1])
-    actual_burn_in = done
+    def maybe_ckpt(phase: str):
+        nonlocal last_ckpt
+        if ckpt_manager is not None and ckpt_every and \
+                done - last_ckpt >= ckpt_every:
+            ckpt_manager.save_state(
+                done,
+                {"params": params, "opt_state": opt_state,
+                 "best_params": best_params},
+                extra={"dispatch_i": dispatch_i, "best_macro": best_macro,
+                       "burn_in_steps": actual_burn_in, "phase": phase})
+            last_ckpt = done
+
+    # --- burn-in (1p only), chunked so convergence/ckpt apply ---
+    burn_window = max(1, round(cfg.conv_window / steps_per))
+    if mega_burn is not None and done < burn_in_steps and actual_burn_in == done:
+        chunk_rounds = max(1, min(cfg.val_every, ckpt_every or cfg.val_every)
+                           // steps_per)
+        while done < burn_in_steps:
+            rounds = min(chunk_rounds,
+                         max(1, (burn_in_steps - done) // steps_per))
+            params, opt_state, ml = dispatch(mega_burn, rounds, ["1p"])
+            burn_series.extend(ml[:, 0].tolist())
+            actual_burn_in = done
+            maybe_ckpt("burn")
+            if log:
+                log(done, "1p", burn_series[-1])
+            if check_conv(burn_series, burn_window, cfg.tol):
+                break
+
+    # --- multitask rounds with eval / ckpt / convergence ---
     eval_every = max(1, min(cfg.val_every, total_steps - done)
                      ) if total_steps > done else 1
+    multi_window = max(1, round(cfg.conv_window / (n_struct * steps_per)))
     while done < total_steps:
         seg = min(eval_every, total_steps - done)
         rounds = max(1, round(seg / (n_struct * steps_per)))
-        params, opt_state = dispatch(mega_all, rounds, data.structures)
+        params, opt_state, ml = dispatch(mega_all, rounds, data.structures)
+        multi_series.extend(ml.mean(axis=1).tolist())
         if val_queries:
-            aucs = eval_auc(cfg, params, schema, val_queries, seed=cfg.seed)
+            aucs = eval_auc(cfg, params, schema, val_queries, seed=cfg.seed,
+                            neighbor_tables=neighbor_tables)
             macro = aucs.get("macro", 0.0)
             val_history.append((done, macro))
             if macro > best_macro:
                 best_macro = macro
                 best_params = jax.tree.map(lambda x: x.copy(), params)
+        maybe_ckpt("multi")
         if log:
             log(done, "multitask", float(np.mean(
                 [losses[s][-1] for s in data.structures])))
+        if check_conv(multi_series, multi_window, cfg.tol):
+            break
     if val_queries and not val_history:
         # Burn-in consumed the whole budget (or total_steps == 0): evaluate
         # once so best_val_auc is never a meaningless -1.
-        aucs = eval_auc(cfg, params, schema, val_queries, seed=cfg.seed)
+        aucs = eval_auc(cfg, params, schema, val_queries, seed=cfg.seed,
+                        neighbor_tables=neighbor_tables)
         macro = aucs.get("macro", 0.0)
         val_history.append((done, macro))
         best_macro, best_params = macro, params

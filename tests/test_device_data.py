@@ -143,3 +143,88 @@ def test_run_train_device_mega(graph):
     assert set(res.losses) == set(STRUCTURES)
     for leaf in jax.tree.leaves(res.best_params):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_run_train_device_mega_resume_bitwise(graph, tmp_path):
+    """Kill-free resume determinism: a run checkpointed at a dispatch
+    boundary and resumed to completion ends with BITWISE-identical params to
+    the uninterrupted run — batch selection is counter-based
+    (fold_in(key, dispatch_i)), and dispatch_i/done are in the checkpoint."""
+    from graphqembed_tpu.training.checkpoint import CheckpointManager
+    from graphqembed_tpu.training.device_data import run_train_device_mega
+
+    cfg = GQEConfig(embed_dim=16, projection="transe", batch_size=32,
+                    lr=0.03, seed=0, val_every=30, tol=0.0,
+                    conv_window=10**6)
+    s = QuerySampler(graph, np.random.default_rng(5), max_negs=10)
+    train = s.sample_many("1p", 80) + s.sample_many("2i", 80)
+    data = DeviceTrainData(graph.schema, train)
+    p0 = init_params(cfg, graph.schema, jax.random.key(3))
+
+    res_full = run_train_device_mega(
+        cfg, graph.schema, jax.tree.map(lambda x: x.copy(), p0), data,
+        total_steps=100, burn_in_steps=20, steps_per=10)
+
+    mgr = CheckpointManager(tmp_path / "ckpts", keep=3)
+    run_train_device_mega(
+        cfg, graph.schema, jax.tree.map(lambda x: x.copy(), p0), data,
+        total_steps=60, burn_in_steps=20, steps_per=10,
+        ckpt_manager=mgr, ckpt_every=20)
+    res_resumed = run_train_device_mega(
+        cfg, graph.schema, jax.tree.map(lambda x: x.copy(), p0), data,
+        total_steps=100, burn_in_steps=20, steps_per=10,
+        ckpt_manager=mgr, ckpt_every=10**9, resume=True)
+
+    assert res_full.steps == res_resumed.steps == 100
+    for a, b in zip(jax.tree.leaves(res_full.params),
+                    jax.tree.leaves(res_resumed.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_run_train_device_mega_convergence_stops(graph):
+    """tol=inf makes check_conv fire as soon as the windowed series exists:
+    both burn-in and multitask must stop far short of their budgets."""
+    from graphqembed_tpu.training.device_data import run_train_device_mega
+
+    # conv is checked at dispatch boundaries, whose size follows val_every —
+    # so use a realistic cadence (val_every=1e9 would mean "never sync",
+    # which legitimately runs each phase as one dispatch)
+    cfg = GQEConfig(embed_dim=16, projection="transe", batch_size=32,
+                    lr=0.03, seed=0, val_every=40, tol=1e9,
+                    conv_window=20)
+    s = QuerySampler(graph, np.random.default_rng(6), max_negs=10)
+    train = s.sample_many("1p", 80) + s.sample_many("2i", 80)
+    data = DeviceTrainData(graph.schema, train)
+    params = init_params(cfg, graph.schema, jax.random.key(3))
+    res = run_train_device_mega(cfg, graph.schema, params, data,
+                                total_steps=100_000, burn_in_steps=50_000,
+                                steps_per=10)
+    # window = 2 rounds -> burn-in stops once 4+ rounds of history exist;
+    # multitask stops after 2 dispatches of history
+    assert res.burn_in_steps <= 100, res.burn_in_steps
+    assert res.steps < 2000, res.steps
+
+
+def test_run_train_device_mega_depth1(graph):
+    """depth>0 SAGE encoder inside the scan mega-step: trains, loss drops,
+    result finite — the neighbor tables ride as jit arguments."""
+    from graphqembed_tpu.models.encoders import NeighborTables
+    from graphqembed_tpu.training.device_data import run_train_device_mega
+
+    cfg = GQEConfig(embed_dim=16, projection="transe", batch_size=32,
+                    lr=0.05, seed=0, depth=1, val_every=10**9, tol=0.0,
+                    conv_window=10**6)
+    tables = NeighborTables.build(graph, sample_size=4, seed=0)
+    s = QuerySampler(graph, np.random.default_rng(7), max_negs=10)
+    train = s.sample_many("1p", 200)
+    data = DeviceTrainData(graph.schema, train)
+    params = init_params(cfg, graph.schema, jax.random.key(4))
+    assert "encoder" in params
+    res = run_train_device_mega(cfg, graph.schema, params, data,
+                                total_steps=200, burn_in_steps=200,
+                                steps_per=20, neighbor_tables=tables)
+    series = res.losses["1p"]
+    assert len(series) >= 4
+    assert series[-1] < 0.8 * series[0], series
+    for leaf in jax.tree.leaves(res.params):
+        assert np.isfinite(np.asarray(leaf)).all()

@@ -1,0 +1,142 @@
+"""Sharded deep-encoder training (BASELINE config 5): SAGE encoding over a
+row-sharded table + edge-partitioned adjacency with owner-compute boundary
+exchange must match the single-device encoder — forward bitwise, full train
+step to fp32 tolerance (the DP psum reassociates reductions)."""
+
+import jax
+import numpy as np
+import optax
+import pytest
+
+from graphqembed_tpu.config import GQEConfig
+from graphqembed_tpu.data.sampling import QuerySampler
+from graphqembed_tpu.models.encoders import (
+    NeighborTables,
+    make_deep_encoder,
+    sage_encode,
+)
+from graphqembed_tpu.models.params import init_params
+from graphqembed_tpu.parallel.deep import (
+    ShardedNeighborTables,
+    make_sharded_deep_train_step,
+    sage_encode_sharded,
+)
+from graphqembed_tpu.parallel.mesh import make_mesh, shard_params
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(8)
+
+
+@pytest.fixture(scope="module")
+def tables(graph):
+    return NeighborTables.build(graph, sample_size=4, seed=0)
+
+
+@pytest.mark.parametrize("depth,aggregator", [(1, "mean"), (1, "pool"),
+                                              (2, "mean")])
+def test_sage_encode_sharded_matches_single(graph, mesh, tables, depth,
+                                            aggregator):
+    cfg = GQEConfig(embed_dim=16, depth=depth, aggregator=aggregator)
+    params = init_params(cfg, graph.schema, jax.random.key(0))
+    sp = shard_params(params, mesh)
+    st = ShardedNeighborTables.build(mesh, tables)
+    ids = np.random.default_rng(1).integers(
+        0, graph.schema.n_nodes, size=32).astype(np.int32)
+
+    ref = sage_encode(cfg, params["table"], params["encoder"], tables,
+                      jax.numpy.asarray(ids), depth=depth,
+                      aggregator=aggregator)
+    out = sage_encode_sharded(cfg, mesh, sp["table"], sp["encoder"], st,
+                              jax.numpy.asarray(ids), depth=depth,
+                              aggregator=aggregator)
+    # owner-compute gathers return exact rows; local math is identical ->
+    # bitwise equality on the CPU mesh
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_sharded_deep_step_matches_single_device(graph, mesh, tables):
+    """One full sharded depth-1 train step (3i: intersection aggregation fed
+    by boundary exchange) ends with the same loss and params as the
+    single-device rows-path step. SGD, not Adam: Adam amplifies the ~1e-8
+    scatter-add reassociation noise in near-zero table-row grads to ±lr
+    (same reasoning as test_oracle_trained.py::test_train_steps_match_oracle);
+    the forward is pinned bitwise above and Adam training is covered below."""
+    from graphqembed_tpu.models import gqe
+
+    cfg = GQEConfig(embed_dim=16, projection="bilinear", depth=1,
+                    batch_size=32, lr=0.03)
+    params = init_params(cfg, graph.schema, jax.random.key(1))
+    optimizer = optax.sgd(cfg.lr)
+
+    s = QuerySampler(graph, np.random.default_rng(2), max_negs=10)
+    qs = s.sample_many("3i", 32)
+    anchors = np.array([q.anchors for q in qs], np.int32)
+    rel_ids = np.array([q.formula.rel_ids(graph.schema) for q in qs], np.int32)
+    modes = np.array([graph.schema.mode_id(q.formula.intersection_mode)
+                      for q in qs], np.int32)
+    targets = np.array([q.target for q in qs], np.int32)
+    negs = np.array([q.neg_samples[0] for q in qs], np.int32)
+
+    # single-device reference step (rows path + deep encoder)
+    def ref_loss(p):
+        enc = make_deep_encoder(cfg, p, tables, cfg.depth, cfg.aggregator)
+        return gqe.margin_loss_rows(cfg, p, "3i", anchors, rel_ids, modes,
+                                    targets, negs,
+                                    np.ones(len(qs), bool), encode_fn=enc)
+
+    loss_ref, grads = jax.value_and_grad(ref_loss)(params)
+    opt_state = optimizer.init(params)
+    updates, _ = optimizer.update(grads, opt_state, params)
+    p_ref = optax.apply_updates(params, updates)
+
+    # sharded step
+    sp = shard_params(params, mesh)
+    st = ShardedNeighborTables.build(mesh, tables)
+    step = make_sharded_deep_train_step(cfg, optimizer, mesh, st)
+    opt_state_s = optimizer.init(sp)
+    p_out, _, loss_out = step(sp, opt_state_s, "3i", anchors, rel_ids,
+                              modes, targets, negs)
+
+    np.testing.assert_allclose(float(loss_out), float(loss_ref),
+                               rtol=1e-6, atol=1e-7)
+    n = params["table"].shape[0]
+    np.testing.assert_allclose(np.asarray(p_out["table"])[:n],
+                               np.asarray(p_ref["table"]),
+                               rtol=2e-5, atol=2e-6)
+    for k in ("W_self", "W_rel"):
+        np.testing.assert_allclose(np.asarray(p_out["encoder"][k]),
+                                   np.asarray(p_ref["encoder"][k]),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_sharded_deep_step_trains(graph, mesh, tables):
+    """Several sharded depth-1 steps reduce the loss (grads flow through the
+    all_to_all boundary-exchange route back to the owning shards)."""
+    cfg = GQEConfig(embed_dim=16, projection="transe", depth=1,
+                    batch_size=64, lr=0.05)
+    params = shard_params(init_params(cfg, graph.schema, jax.random.key(2)),
+                          mesh)
+    optimizer = optax.adam(cfg.lr)
+    opt_state = optimizer.init(params)
+    st = ShardedNeighborTables.build(mesh, tables)
+    step = make_sharded_deep_train_step(cfg, optimizer, mesh, st)
+
+    s = QuerySampler(graph, np.random.default_rng(3), max_negs=10)
+    qs = s.sample_many("1p", 64)
+    anchors = np.array([q.anchors for q in qs], np.int32)
+    rel_ids = np.array([q.formula.rel_ids(graph.schema) for q in qs], np.int32)
+    modes = np.full(len(qs), -1, np.int32)
+    targets = np.array([q.target for q in qs], np.int32)
+    rng = np.random.default_rng(4)
+
+    losses = []
+    for i in range(30):
+        negs = np.array([q.neg_samples[rng.integers(len(q.neg_samples))]
+                         for q in qs], np.int32)
+        params, opt_state, loss = step(params, opt_state, "1p", anchors,
+                                       rel_ids, modes, targets, negs)
+        losses.append(float(loss))
+    assert losses[-1] < 0.7 * losses[0], (losses[0], losses[-1])
+    assert np.isfinite(np.asarray(params["table"])).all()
