@@ -60,7 +60,13 @@ class GQEConfig:
     mesh_shape: tuple[int, ...] = (1,)
     mesh_axes: tuple[str, ...] = ("data",)
     shard_table: bool = True         # row-shard the packed embedding table
-    gather_capacity_factor: float = 2.0  # all-to-all per-owner capacity slack
+    # Owner-compute gather capacity (parallel/gather.py): <= 0 = exact
+    # worst-case capacity C=B (no drops under any ownership skew); > 0 =
+    # capacity-bounded all_to_all with C = ceil(B/D * factor) — payload
+    # shrinks ~D/factor-fold at near-uniform ownership, hotspot overflow
+    # rows are dropped (observable via sharded_gather_with_overflow).
+    # Threads into parallel/deep.py's sharded SAGE gathers.
+    gather_capacity_factor: float = 0.0
 
     # --- kernels ---
     # Gates ONLY the per-formula intersect() path (models/gqe.py::intersect);

@@ -54,6 +54,13 @@ def _load():
         ctypes.c_int, ctypes.c_int, ctypes.c_int,      # max_negs, tries, exh
         i32p, i32p, i32p, i32p, i32p, i32p, i32p,      # outputs
     ]
+    lib.gqe_all_edges_1p.restype = ctypes.c_int
+    lib.gqe_all_edges_1p.argtypes = [
+        ctypes.c_int, i32p, i32p,                      # modes
+        ctypes.c_int, i32p, i32p, i32p, i64p, i64p, i32p, i32p,  # rels+CSR
+        ctypes.c_int64, ctypes.c_uint64, ctypes.c_int,  # cap, seed, max_negs
+        i32p, i32p, i32p, i32p, i32p,                  # outputs
+    ]
     _LIB = lib
     return lib
 
@@ -142,6 +149,44 @@ def native_sample_arrays(graph: Graph, structure: str, n: int, seed: int = 0,
         "neg_counts": out_negc[:got],
         "hard": out_hard[:got],
         "hard_counts": out_hardc[:got],
+    }
+
+
+def native_all_edges_1p(graph: Graph, cap: int | None = None, seed: int = 0,
+                        max_negs: int = 16):
+    """EVERY edge as a 1p query with exact negatives (C++, one pass over the
+    CSR) — the full-coverage 1p pool (the reference's train_edges IS the edge
+    set). If the graph has more than `cap` edges, a uniform ~cap subsample is
+    taken. Returns a native_sample_arrays-format dict (no hard pools — 1p has
+    none), or None if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    ga = _graph_arrays(graph)
+    schema = graph.schema
+    n_edges = graph.num_edges()
+    cap = int(min(cap or n_edges, n_edges))
+    out_rels = np.full((cap, 3), -1, np.int32)
+    out_anchors = np.full((cap, 3), -1, np.int32)
+    out_targets = np.empty(cap, np.int32)
+    out_negs = np.empty((cap, max_negs), np.int32)
+    out_negc = np.empty(cap, np.int32)
+    got = lib.gqe_all_edges_1p(
+        len(schema.modes), ga.mode_lo, ga.mode_hi,
+        schema.n_relations, ga.rel_from, ga.rel_to, ga.rel_rev,
+        ga.indptr_off, ga.indices_off, ga.indptr_cat, ga.indices_cat,
+        cap, seed, max_negs,
+        out_rels, out_anchors, out_targets, out_negs, out_negc)
+    z = np.zeros((got, max_negs), np.int32)
+    return {
+        "structure": "1p",
+        "rels": out_rels[:got],
+        "anchors": out_anchors[:got],
+        "targets": out_targets[:got],
+        "negs": out_negs[:got],
+        "neg_counts": out_negc[:got],
+        "hard": z,
+        "hard_counts": np.zeros(got, np.int32),
     }
 
 

@@ -379,4 +379,86 @@ int gqe_sample_queries(
   return written;
 }
 
+// Bulk 1p pool: EVERY edge of every relation as a 1p query with `max_negs`
+// exact negatives (rejection-sampled against the anchor's answer set, which
+// for 1p is just its neighbor row — built once per source and reused for all
+// of that source's out-edges). This is how the reference gets 1p coverage:
+// its train_edges set IS the full edge set, not a subsample — a 20k-query 1p
+// pool leaves most embeddings without a single positive gradient at
+// 100k-node scale (round-1 paper-scale failure mode).
+//
+// If n_edges_total > cap, a uniform per-edge Bernoulli subsample of ~cap
+// edges is taken. Returns the number of queries written.
+int gqe_all_edges_1p(
+    int n_modes, const int32_t* mode_lo, const int32_t* mode_hi,
+    int n_rels, const int32_t* rel_from_mode, const int32_t* rel_to_mode,
+    const int32_t* rel_rev, const int64_t* indptr_off,
+    const int64_t* indices_off, const int32_t* indptr_cat,
+    const int32_t* indices_cat,
+    int64_t cap, uint64_t seed, int max_negs,
+    int32_t* out_rels,        // [cap, 3]
+    int32_t* out_anchors,     // [cap, 3]
+    int32_t* out_targets,     // [cap]
+    int32_t* out_negs,        // [cap, max_negs]
+    int32_t* out_neg_counts   // [cap]
+) {
+  Graph g;
+  g.n_modes = n_modes; g.mode_lo = mode_lo; g.mode_hi = mode_hi;
+  g.n_rels = n_rels; g.rel_from_mode = rel_from_mode;
+  g.rel_to_mode = rel_to_mode; g.rel_rev = rel_rev;
+  g.indptr_off = indptr_off; g.indices_off = indices_off;
+  g.indices_cat = indices_cat; g.indptr_cat = indptr_cat;
+
+  std::mt19937_64 rng(seed);
+  int64_t total = 0;
+  for (int r = 0; r < n_rels; ++r) total += g.rel_nnz(r);
+  // keep ~cap edges: accept each with prob cap/total (clamped at the end)
+  const bool subsample = total > cap;
+  const double p_keep = subsample ? (double)cap / (double)total : 1.0;
+  const uint64_t keep_thresh =
+      (uint64_t)(p_keep * 18446744073709551615.0);
+
+  int64_t written = 0;
+  Set ans;
+  for (int r = 0; r < n_rels && written < cap; ++r) {
+    const int from_m = rel_from_mode[r];
+    const int to_m = rel_to_mode[r];
+    const int32_t lo = mode_lo[from_m], hi = mode_hi[from_m];
+    const int32_t tlo = mode_lo[to_m], thi = mode_hi[to_m];
+    const int64_t n_tmode = thi - tlo;
+    for (int32_t s = lo; s < hi && written < cap; ++s) {
+      auto [p, n] = g.neighbors(r, s);
+      if (n == 0) continue;
+      ans.clear();
+      ans.insert(p, p + n);
+      for (int e = 0; e < n && written < cap; ++e) {
+        if (subsample && rng() > keep_thresh) continue;
+        int count = 0;
+        int32_t* negp = out_negs + written * max_negs;
+        if (n_tmode <= (int64_t)n + max_negs) {
+          for (int32_t c = tlo; c < thi && count < max_negs; ++c)
+            if (!ans.count(c)) negp[count++] = c;
+        } else {
+          for (int64_t draws = 0; count < max_negs &&
+               draws < 50LL * max_negs; ++draws) {
+            int32_t c = tlo + (int32_t)(rng() % n_tmode);
+            if (!ans.count(c)) negp[count++] = c;
+          }
+        }
+        if (count == 0) continue;
+        out_rels[written * 3] = r;
+        out_rels[written * 3 + 1] = -1;
+        out_rels[written * 3 + 2] = -1;
+        out_anchors[written * 3] = s;
+        out_anchors[written * 3 + 1] = -1;
+        out_anchors[written * 3 + 2] = -1;
+        out_targets[written] = p[e];
+        out_neg_counts[written] = count;
+        ++written;
+      }
+    }
+  }
+  return (int)written;
+}
+
 }  // extern "C"

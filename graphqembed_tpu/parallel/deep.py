@@ -95,7 +95,10 @@ def sage_encode_sharded(cfg: GQEConfig, mesh: Mesh, table: jnp.ndarray,
     node_local = st.node_local
     mode_rel = st.mode_rel_ids
     prec = _precision(cfg)
-    gather = functools.partial(sharded_gather, mesh, axis=axis)
+    # cfg.gather_capacity_factor <= 0 (default): exact worst-case capacity;
+    # > 0: capacity-bounded all_to_all (smaller payload, hotspot drops)
+    gather = functools.partial(sharded_gather, mesh, axis=axis,
+                               capacity_factor=cfg.gather_capacity_factor)
 
     def embed(ids: jnp.ndarray, k: int) -> jnp.ndarray:
         base = l2_normalize(gather(table, ids))          # boundary exchange

@@ -65,3 +65,73 @@ def test_jit_compiles():
     got = f(table, ids)
     np.testing.assert_allclose(np.asarray(got),
                                np.asarray(jnp.take(table, ids, axis=0)))
+
+
+def test_capacity_bounded_uniform_no_overflow():
+    """capacity_factor=2 at near-uniform ownership: zero drops, results equal
+    the exact worst-case gather, and the all_to_all payload is C/B = 2/D of
+    the worst case (gather_capacity pins C)."""
+    from graphqembed_tpu.parallel.gather import (
+        gather_capacity,
+        sharded_gather_with_overflow,
+    )
+
+    mesh = make_mesh(8)
+    n, d, b = 64, 8, 64
+    table = jax.device_put(jax.random.normal(jax.random.key(0), (n, d)),
+                           NamedSharding(mesh, P("data", None)))
+    # perfectly balanced ids: device k's 8 requests hit owners 0..7 once
+    # each (id = owner*rows_per_shard + k; rows_per_shard = 64/8 = 8)
+    flat = np.array([[o * 8 + k for o in range(8)] for k in range(8)],
+                    np.int32).reshape(-1)
+    ids = jax.device_put(jnp.asarray(flat), NamedSharding(mesh, P("data")))
+    rows, overflow = sharded_gather_with_overflow(mesh, table, ids,
+                                                  capacity_factor=2.0)
+    assert int(overflow) == 0
+    np.testing.assert_allclose(np.asarray(rows),
+                               np.asarray(jnp.take(table, ids, axis=0)))
+    # payload accounting: C = ceil(8/8 * 2) = 2 vs worst-case 8 -> 4x less
+    assert gather_capacity(b // 8, 8, 2.0) == 2
+    assert gather_capacity(b // 8, 8, 0.0) == 8
+
+
+def test_capacity_bounded_hotspot_overflows():
+    """All ids owned by one shard with capacity_factor=1: drops detected and
+    counted; non-dropped requests still served exactly; dropped rows are 0."""
+    from graphqembed_tpu.parallel.gather import sharded_gather_with_overflow
+
+    mesh = make_mesh(8)
+    table = jax.device_put(jax.random.normal(jax.random.key(0), (64, 8)),
+                           NamedSharding(mesh, P("data", None)))
+    ids = jax.device_put(jnp.full((64,), 3, jnp.int32),
+                         NamedSharding(mesh, P("data")))
+    rows, overflow = sharded_gather_with_overflow(mesh, table, ids,
+                                                  capacity_factor=1.0)
+    # per device: 8 requests, all to owner 0, capacity ceil(8/8*1)=1 -> 7 drop
+    assert int(overflow) == 8 * 7
+    rows = np.asarray(rows)
+    want = np.asarray(table)[3]
+    # exactly one row per device served, the rest zero
+    served = (np.abs(rows).sum(axis=1) > 0)
+    assert served.sum() == 8
+    np.testing.assert_allclose(rows[served], np.tile(want, (8, 1)))
+
+
+def test_capacity_bounded_gradient_flows():
+    """Backward through the capped route: grads land only on served rows."""
+    from graphqembed_tpu.parallel.gather import sharded_gather
+
+    mesh, table, ids = _setup(seed=5)
+    w = jax.random.normal(jax.random.key(11), (32, 16))
+
+    def loss(t):
+        return jnp.sum(sharded_gather(mesh, t, ids, capacity_factor=8.0) * w)
+
+    def loss_dense(t):
+        return jnp.sum(jnp.take(t, ids, axis=0) * w)
+
+    # factor 8 == worst case at D=8 -> no drops -> grads match dense exactly
+    g1 = jax.grad(loss)(table)
+    g2 = jax.grad(loss_dense)(table)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-6,
+                               atol=1e-6)
