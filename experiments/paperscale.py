@@ -1,0 +1,198 @@
+"""Paper-scale quality run (VERDICT r1 item 1b): the round-1 paper-scale
+graph (scale=114, avg_degree=40 -> ~100k nodes / ~11.3M edges, BASELINE.md
+"bio graph scale" ~1e5 nodes / ~8M edges) trained with FULL 1p coverage —
+every train edge is a 1p query (native_all_edges_1p, the reference's
+train_edges semantics) — plus bulk intersection/path pools through the
+array fast path (native_sample_arrays -> device_pool_from_arrays, zero
+python Query objects on the train side).
+
+Round-1 failure mode this fixes: 20k 1p queries on a 100k-node graph leave
+most embeddings without a single positive gradient (val macro 0.629,
+clean-test ~chance). Writes RESULTS_bio_paperscale.{md,json}.
+
+Run on the TPU chip:  python experiments/paperscale.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", type=float, default=114.0)
+    ap.add_argument("--avg_degree", type=float, default=40.0)
+    ap.add_argument("--n_inter", type=int, default=50000,
+                    help="train queries per non-1p structure")
+    ap.add_argument("--n_val", type=int, default=400)
+    ap.add_argument("--n_test", type=int, default=300)
+    ap.add_argument("--steps", type=int, default=400_000)
+    ap.add_argument("--burn_in", type=int, default=150_000)
+    ap.add_argument("--lr", type=float, default=0.03)
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--out", type=str, default="RESULTS_bio_paperscale.md")
+    args = ap.parse_args()
+    if args.quick:
+        args.scale, args.avg_degree = 2.0, 8.0
+        args.n_inter, args.n_val, args.n_test = 2000, 100, 50
+        args.steps, args.burn_in = 8000, 3000
+
+    import jax
+    import optax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_gqe_xla_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from graphqembed_tpu.config import STRUCTURES, GQEConfig
+    from graphqembed_tpu.data.sampling import QuerySampler, parallel_sample
+    from graphqembed_tpu.graph.synthetic import holdout_edges, synthetic_graph
+    from graphqembed_tpu.models.params import init_params
+    from graphqembed_tpu.native import (
+        native_all_edges_1p,
+        native_sample_arrays,
+    )
+    from graphqembed_tpu.training import eval_apr, eval_auc
+    from graphqembed_tpu.training.device_data import (
+        DeviceTrainData,
+        device_pool_from_arrays,
+        run_train_device_mega,
+    )
+
+    t_all = time.time()
+    cfg = GQEConfig(embed_dim=128, projection="bilinear", intersection="min",
+                    batch_size=512, lr=args.lr, seed=0,
+                    val_every=max(1, args.steps // 10), tol=0.0,
+                    conv_window=10**9)
+
+    graph = synthetic_graph(seed=0, scale=args.scale,
+                            avg_degree=args.avg_degree)
+    train_graph, held = holdout_edges(graph, frac=0.1, seed=1)
+    print(f"graph: {graph.schema.n_nodes} nodes, {graph.num_edges()} edges, "
+          f"{len(held)} held out", flush=True)
+
+    # --- train pools: the array fast path, no python Query objects ---
+    t0 = time.time()
+    pools = {}
+    arr_1p = native_all_edges_1p(train_graph, max_negs=16, seed=11)
+    pools["1p"] = device_pool_from_arrays(graph.schema, arr_1p)
+    n_1p = len(arr_1p["targets"])
+    del arr_1p
+    print(f"1p pool: ALL {n_1p} train edges ({time.time()-t0:.0f}s)",
+          flush=True)
+
+    others = [s for s in STRUCTURES if s != "1p"]
+
+    def sample_arrays(job):
+        st, seed = job
+        return st, native_sample_arrays(train_graph, st, args.n_inter,
+                                        seed=seed, max_negs=50)
+
+    with ThreadPoolExecutor(max_workers=2) as ex:  # 2 cores on this box
+        for st, arr in ex.map(sample_arrays,
+                              [(s, 100 + i) for i, s in enumerate(others)]):
+            pools[st] = device_pool_from_arrays(graph.schema, arr)
+            print(f"{st} pool: {len(arr['targets'])} "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+    data = DeviceTrainData.from_pools(pools)
+    t_pools = time.time() - t0
+
+    # --- val / clean-test queries (small; the Query-object eval path) ---
+    t0 = time.time()
+    val = []
+    for st in STRUCTURES:
+        val += parallel_sample(train_graph, st, args.n_val, n_workers=2,
+                               seed=7, max_negs=50)
+    test = []
+    s = QuerySampler(graph, np.random.default_rng(13), max_negs=50)
+    for st in STRUCTURES:
+        test += s.sample_many(st, args.n_test, train_graph=train_graph)
+    t_eval_sample = time.time() - t0
+    print(f"val {len(val)} / clean-test {len(test)} "
+          f"({t_eval_sample:.0f}s)", flush=True)
+
+    # --- train: device mega pipeline, cosine decay ---
+    params = init_params(cfg, graph.schema, jax.random.key(0))
+    schedule = optax.cosine_decay_schedule(cfg.lr, args.steps, alpha=0.05)
+    optimizer = optax.adam(schedule)
+    res = run_train_device_mega(
+        cfg, graph.schema, params, data, val_queries=val,
+        total_steps=args.steps, burn_in_steps=args.burn_in, steps_per=200,
+        optimizer=optimizer,
+        log=lambda step, st, l: print(
+            f"  step {step} [{st}] loss {l:.4f}", flush=True))
+    print(f"trained {res.steps} steps "
+          f"({res.queries_per_sec:.0f} q/s/chip); "
+          f"val history {[(d, round(m, 4)) for d, m in res.val_history]}",
+          flush=True)
+
+    best = res.best_params
+    val_auc = eval_auc(cfg, best, graph.schema, val, seed=3)
+    val_hard = eval_auc(cfg, best, graph.schema, val, seed=3, hard=True)
+    val_apr = eval_apr(cfg, best, graph.schema, val, max_negs=50)
+    test_auc = eval_auc(cfg, best, graph.schema, test, seed=3)
+
+    r = lambda d: {k: round(v, 4) for k, v in d.items()}
+    report = {
+        "dataset": "bio-synth-paperscale",
+        "graph": {"nodes": graph.schema.n_nodes, "edges": graph.num_edges(),
+                  "held_out_edges": len(held), "scale": args.scale,
+                  "avg_degree": args.avg_degree},
+        "config": {"projection": cfg.projection, "d": cfg.embed_dim,
+                   "batch": cfg.batch_size, "lr": cfg.lr,
+                   "steps": res.steps, "burn_in": res.burn_in_steps,
+                   "n_train_1p": n_1p,
+                   "n_train_per_other_structure": args.n_inter},
+        "train_queries_per_sec_per_chip": round(res.queries_per_sec, 1),
+        "val_auc": r(val_auc), "val_auc_hard": r(val_hard),
+        "val_apr": r(val_apr), "clean_test_auc": r(test_auc),
+        "pool_build_s": round(t_pools, 1),
+        "eval_sample_s": round(t_eval_sample, 1),
+        "wall_s": round(time.time() - t_all, 1),
+    }
+    print(json.dumps(report, indent=2), flush=True)
+
+    rows = "\n".join(
+        f"| {st} | {val_auc.get(st, float('nan')):.3f} "
+        f"| {val_hard.get(st, float('nan')):.3f} "
+        f"| {val_apr.get(st, float('nan')):.3f} "
+        f"| {test_auc.get(st, float('nan')):.3f} |"
+        for st in (*STRUCTURES, "macro"))
+    md = f"""# RESULTS — paper-scale synthetic-bio run (TPU v5e, 1 chip)
+
+Full protocol with FULL 1p coverage: every one of the {n_1p} train edges is
+a 1p query (C++ all-edges pool, exact negatives), {args.n_inter} queries per
+other structure, all through the array fast path (no python Query objects on
+the train side). Graph: {graph.schema.n_nodes} nodes /
+{graph.num_edges()} directed edges, 10% held out; clean-test queries are
+answerable only with held-out edges. bilinear/min, d=128, B=512,
+{res.steps} steps (burn-in {res.burn_in_steps}), cosine lr {cfg.lr}.
+
+| structure | val AUC | val AUC (hard neg) | val APR | clean-test AUC |
+|---|---|---|---|---|
+{rows}
+
+- sustained training throughput {res.queries_per_sec:.0f} queries/s/chip
+- pool build {t_pools:.0f}s (C++ samplers, 2 threads); val/clean-test
+  sampling {t_eval_sample:.0f}s; total wall {report['wall_s']}s
+- round-1 comparison (20k 1p queries instead of {n_1p}): val macro 0.629,
+  clean-test macro 0.556 — the coverage fix is the delta
+
+Raw JSON: `RESULTS_bio_paperscale.json`.
+"""
+    Path(args.out).write_text(md)
+    Path(args.out).with_suffix(".json").write_text(json.dumps(report, indent=2))
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

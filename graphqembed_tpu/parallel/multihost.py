@@ -8,9 +8,11 @@ arguments for CPU/GPU fleets). After initialization `jax.devices()` spans the
 whole slice and the standard mesh helpers (parallel/mesh.py) produce global
 meshes whose collectives ride ICI within the slice and DCN across slices.
 
-This box has 1 chip / 1 process, so this module is exercised only as a no-op
-(n_processes=1) — the code path is the standard JAX multi-host recipe and the
-mesh/sharding logic it feeds IS tested (virtual CPU mesh + dryrun_multichip).
+Tested as a REAL 2-process jax.distributed cluster (tests/test_multihost.py:
+2 CPU processes x 4 virtual devices = one 8-device mesh; initialize +
+global_batch_from_local + a sharded train step across the process boundary,
+replicated loss asserted equal on both processes). The single-process no-op
+path is what runs on this 1-chip box.
 
 Data placement convention for multi-host training:
 - per-host batch shard: each host feeds its own slice of the global batch
@@ -30,13 +32,21 @@ def initialize_multihost(coordinator_address: str | None = None,
                          num_processes: int | None = None,
                          process_id: int | None = None) -> dict:
     """Initialize the distributed runtime (no-op for a single process).
-    Returns a summary dict for logging."""
-    already = jax.process_count() > 1
-    if not already and (coordinator_address or (num_processes or 0) > 1):
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id)
+    Returns a summary dict for logging.
+
+    MUST run before anything touches the XLA backend — so the
+    am-I-already-initialized probe cannot be jax.process_count() (that call
+    itself initializes the backend; bug found by the 2-process test). We try
+    to initialize and tolerate double-initialization instead."""
+    if coordinator_address or (num_processes or 0) > 1:
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id)
+        except RuntimeError as e:
+            if "already" not in str(e).lower():
+                raise
     return {
         "process_index": jax.process_index(),
         "process_count": jax.process_count(),

@@ -77,14 +77,25 @@ def make_sharded_train_step(cfg: GQEConfig, optimizer, mesh, params_like: dict):
                 tuple((getattr(x, "shape", ()), str(getattr(x, "dtype", "")))
                       for x in leaves))
 
+    def _rep_global(x):
+        """Multi-process jit rejects numpy inputs with (even replicated)
+        shardings; every process holds the same value for these, so build
+        the replicated global jax.Array explicitly."""
+        if jax.process_count() == 1 or isinstance(x, jax.Array):
+            return x
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, rep,
+                                            lambda idx: x[idx])
+
     def sharded_step(params, opt_state, structure, rels, anchors, targets,
                      negs, row_mask, inter_mode_id, weight):
         k = _opt_key(opt_state)
         if k not in _cache:
             _cache[k] = compile_step(opt_state)
-        return _cache[k](params, opt_state, structure, rels, anchors,
-                         targets, negs, row_mask,
-                         np.int32(inter_mode_id), np.float32(weight))
+        return _cache[k](params, opt_state, structure, _rep_global(rels),
+                         anchors, targets, negs, row_mask,
+                         _rep_global(np.int32(inter_mode_id)),
+                         _rep_global(np.float32(weight)))
 
     return sharded_step
 

@@ -143,6 +143,15 @@ class DeviceTrainData:
     def structures(self) -> list[str]:
         return [s for s in STRUCTURES if s in self.pools]
 
+    @classmethod
+    def from_pools(cls, pools: dict[str, DevicePool]) -> "DeviceTrainData":
+        """Wrap pre-built pools (device_pool_from_arrays fast path — no
+        python Query objects; the multi-million-query route)."""
+        self = cls.__new__(cls)
+        self.pools = dict(pools)
+        self.weights = {s: int(p.n) for s, p in pools.items()}
+        return self
+
 
 def make_scan_train_step(cfg: GQEConfig, optimizer):
     """Returns scan_fn(params, opt_state, pool, structure, key, n_steps,
