@@ -13,9 +13,13 @@ sharded frontier:
   3. aggregate + transform: h = l2norm(relu(x@W_self + mean(nb)@W_nb)).
 
 Overlap: the self-transform x@W_self is data-independent of the boundary
-exchange, so it is emitted BEFORE the gather result is consumed — XLA's
-latency-hiding scheduler can run the MXU matmul while the all_to_all is in
-flight on ICI (validated by profile, not assumed: see bench notes).
+exchange, so it is emitted BEFORE the gather result is consumed. Evidence —
+in the AOT-compiled v5e 2x2 schedule with async all-to-all
+(experiments/overlap_evidence.py; committed artifact
+docs/artifacts/expand_hop_v5e_schedule.txt) the self-transform dot is placed
+BETWEEN the boundary all-to-all-start and its -done, i.e. the MXU matmul
+executes while the exchange is in flight on ICI. A runtime profile on real
+multi-chip hardware remains future validation (1 chip on this box).
 
 Multi-hop = calling expand_hop on the expanded frontier; each hop exchanges
 only that hop's boundary (halo) instead of replicating the table.
