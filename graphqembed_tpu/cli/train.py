@@ -58,12 +58,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_dir", type=str, default=None)
     p.add_argument("--cpu", action="store_true", help="force JAX_PLATFORMS=cpu")
     p.add_argument("--pipeline", type=str, default="host",
-                   choices=["host", "device"],
+                   choices=["host", "device", "stream"],
                    help="host: reference-schedule loop (per-formula "
                         "batches). device: device-resident mega-dispatch "
                         "pipeline — the fast production path (~9x on a "
-                        "tunneled chip). Both support convergence stopping, "
-                        "checkpoints/--resume, and --depth > 0")
+                        "tunneled chip); both support convergence stopping, "
+                        "checkpoints/--resume, and --depth > 0. stream: "
+                        "beyond-RAM grain loader over the saved npz shards "
+                        "in --data_dir (host schedule, per-row batches)")
     p.add_argument("--ckpt_every", type=int, default=0,
                    help="save full train state every N steps (0 = off)")
     p.add_argument("--resume", action="store_true",
@@ -71,7 +73,9 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def load_dataset(args):
+def load_dataset(args, skip_train: bool = False):
+    """skip_train=True (stream pipeline) leaves train queries on disk —
+    the whole point of the beyond-RAM loader."""
     from graphqembed_tpu.data.loader import import_reference_graph, load_queries
     from graphqembed_tpu.data.sampling import QuerySampler
     from graphqembed_tpu.graph.synthetic import reddit_graph, synthetic_graph
@@ -90,7 +94,7 @@ def load_dataset(args):
         return graph, train, val
     d = Path(args.data_dir)
     graph = import_reference_graph(d / "graph_data.pkl")
-    train = load_queries(d / "train_queries")
+    train = [] if skip_train else load_queries(d / "train_queries")
     val = load_queries(d / "val_queries") if (d / "val_queries").exists() else None
     return graph, train, val
 
@@ -137,7 +141,8 @@ def main(argv=None):
     model_dir.mkdir(parents=True, exist_ok=True)
     (model_dir / "config.json").write_text(cfg.to_json())
 
-    graph, train, val = load_dataset(args)
+    graph, train, val = load_dataset(args,
+                                     skip_train=args.pipeline == "stream")
     logging.info("dataset: %d nodes, %d edges, %d train / %d val queries",
                  graph.schema.n_nodes, graph.num_edges(), len(train),
                  len(val or []))
@@ -152,7 +157,20 @@ def main(argv=None):
         mgr = CheckpointManager(model_dir / "ckpts", keep=3)
     from graphqembed_tpu.training.metrics import MetricsWriter
     writer = MetricsWriter(model_dir, tensorboard=True)
-    if args.pipeline == "device":
+    if args.pipeline == "stream":
+        if args.data_dir is None:
+            raise SystemExit("--pipeline stream needs --data_dir with saved "
+                             "npz query shards (gqe-sample output)")
+        if cfg.depth > 0:
+            raise SystemExit("--pipeline stream does not support --depth > 0;"
+                             " use --pipeline host or device")
+        from graphqembed_tpu.data.grain_pipeline import run_train_stream
+        res = run_train_stream(
+            cfg, graph.schema, params, Path(args.data_dir) / "train_queries",
+            val_queries=val,
+            log=lambda step, s, l: logging.info(
+                "step %d [%s] loss %.4f", step, s, l))
+    elif args.pipeline == "device":
         from graphqembed_tpu.training.device_data import (
             DeviceTrainData,
             run_train_device_mega,

@@ -111,3 +111,135 @@ def make_query_loader(path: str | Path, schema, structure: str,
         operations=[grain.Batch(batch_size=batch_size, drop_remainder=True)],
         worker_count=worker_count,
     )
+
+
+def run_train_stream(cfg, schema, params, data_dir, val_queries=None,
+                     total_steps: int | None = None,
+                     burn_in_steps: int | None = None, seed: int | None = None,
+                     worker_count: int = 0, log=None):
+    """Beyond-RAM host training: the §2.5 protocol (burn-in → weighted
+    multitask, hard-neg alternation, convergence, best-val) streaming batches
+    from on-disk npz query shards via grain instead of holding queries in
+    RAM (TrainData) or HBM (DeviceTrainData). Batches are mixed-formula, so
+    steps run the per-row model path (gqe.margin_loss_rows).
+
+    Returns a training/loop.py::TrainResult."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from graphqembed_tpu.config import INTERSECT_STRUCTURES, STRUCTURES
+    from graphqembed_tpu.models import gqe
+    from graphqembed_tpu.training.eval import eval_auc
+    from graphqembed_tpu.training.loop import (
+        TrainResult,
+        check_conv,
+        structure_weight,
+    )
+    import functools
+    import time
+
+    seed = cfg.seed if seed is None else seed
+    total_steps = total_steps if total_steps is not None else cfg.max_iter
+    burn_in_steps = (burn_in_steps if burn_in_steps is not None
+                     else cfg.max_burn_in)
+
+    manifest = json.loads((Path(data_dir) / "manifest.json").read_text())
+    counts: dict[str, int] = {}
+    for e in manifest:
+        counts[e["structure"]] = counts.get(e["structure"], 0) + e["count"]
+    structures = [s for s in STRUCTURES if counts.get(s)]
+    iters = {s: iter(make_query_loader(data_dir, schema, s, cfg.batch_size,
+                                       seed=seed, worker_count=worker_count))
+             for s in structures}
+    tmode = schema.rel_target_mode_ids()
+
+    optimizer = optax.adam(cfg.lr)
+    opt_state = optimizer.init(params)
+
+    @functools.partial(jax.jit, static_argnames=("structure",),
+                       donate_argnames=("params", "opt_state"))
+    def step(params, opt_state, structure, anchors, rels, modes, targets,
+             negs, weight):
+        def loss_fn(p):
+            return weight * gqe.margin_loss_rows(
+                cfg, p, structure, anchors, rels, modes, targets, negs,
+                jnp.ones(anchors.shape[0], jnp.bool_))
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    rng = np.random.default_rng(seed)
+
+    def next_batch(structure: str, hard: bool):
+        b = next(iters[structure])
+        rels = b["rels"].astype(np.int32)
+        if structure in INTERSECT_STRUCTURES:
+            col = 0 if structure == "ip" else rels.shape[1] - 1
+            modes = tmode[rels[:, col]].astype(np.int32)
+        else:
+            modes = np.full(len(rels), -1, np.int32)
+        pool = b["hard_negs"] if hard else b["negs"]
+        # one uniform draw per row from the padded (-1) pool
+        width = (pool >= 0).sum(axis=1).clip(min=1)
+        j = rng.integers(0, 1 << 30, size=len(pool))
+        neg = pool[np.arange(len(pool)), j % width]
+        neg = np.where(neg >= 0, neg, b["negs"][:, 0])
+        return (b["anchors"].astype(np.int32), rels, modes,
+                b["target"].astype(np.int32), neg.astype(np.int32))
+
+    w = np.array([counts[s] for s in structures], np.float64)
+    p_struct = w / w.sum()
+    losses: dict[str, list[float]] = {s: [] for s in structures}
+    burn_series: list[float] = []
+    multi_series: list[float] = []
+    val_history: list[tuple[int, float]] = []
+    best_val, best_params = -1.0, params
+    hard_toggle = 0
+    burn_done = 0
+    multitask = "1p" not in iters
+    t0 = time.perf_counter()
+    step_i = 0
+    while step_i < total_steps:
+        step_i += 1
+        structure = (structures[rng.choice(len(structures), p=p_struct)]
+                     if multitask else "1p")
+        hard = False
+        if structure in INTERSECT_STRUCTURES and cfg.hard_neg_alternate:
+            hard = bool(hard_toggle % 2)
+            hard_toggle += 1
+        anchors, rels, modes, targets, negs = next_batch(structure, hard)
+        params, opt_state, loss = step(
+            params, opt_state, structure, anchors, rels, modes, targets,
+            negs, np.float32(structure_weight(cfg, structure)))
+        loss = float(loss)
+        losses[structure].append(loss)
+        if not multitask:
+            burn_done += 1
+            burn_series.append(loss)
+            if (check_conv(burn_series, cfg.conv_window, cfg.tol)
+                    or burn_done >= burn_in_steps):
+                multitask = True
+        else:
+            multi_series.append(loss)
+        if log and step_i % 500 == 0:
+            log(step_i, structure, loss)
+        if val_queries and step_i % cfg.val_every == 0:
+            aucs = eval_auc(cfg, params, schema, val_queries, seed=cfg.seed)
+            macro = aucs.get("macro", 0.0)
+            val_history.append((step_i, macro))
+            if macro > best_val:
+                best_val = macro
+                best_params = jax.tree.map(lambda x: x.copy(), params)
+        if multitask and check_conv(multi_series, cfg.conv_window, cfg.tol):
+            break
+    dt = time.perf_counter() - t0
+    if best_val < 0:
+        best_params = params
+    return TrainResult(
+        params=params, best_params=best_params, best_val_auc=best_val,
+        steps=step_i, burn_in_steps=burn_done, losses=losses,
+        val_history=val_history,
+        queries_per_sec=step_i * cfg.batch_size / max(dt, 1e-9))

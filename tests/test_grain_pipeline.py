@@ -52,3 +52,35 @@ def test_checkpoint_resume(saved):
     it2.set_state(state)
     got = next(it2)
     np.testing.assert_array_equal(want["target"], got["target"])
+
+
+def test_run_train_stream_e2e(graph, tmp_path):
+    """Beyond-RAM host pipeline end-to-end: stream batches from the npz
+    shards through grain, run the full protocol, learn 1p above chance."""
+    import jax
+
+    from graphqembed_tpu.config import GQEConfig
+    from graphqembed_tpu.data.grain_pipeline import run_train_stream
+    from graphqembed_tpu.data.sampling import QuerySampler
+    from graphqembed_tpu.models.params import init_params
+    from graphqembed_tpu.training import eval_auc
+
+    s = QuerySampler(graph, np.random.default_rng(3), max_negs=10)
+    save_queries(tmp_path, graph.schema,
+                 s.sample_many("1p", 500) + s.sample_many("2i", 150))
+    cfg = GQEConfig(embed_dim=32, projection="transe", batch_size=64,
+                    lr=0.05, seed=1, val_every=300, tol=0.0,
+                    conv_window=10**6)
+    params = init_params(cfg, graph.schema, jax.random.key(0))
+    val = s.sample_many("1p", 80) + s.sample_many("2i", 60)
+    res = run_train_stream(cfg, graph.schema, params, tmp_path,
+                           val_queries=val, total_steps=600,
+                           burn_in_steps=400)
+    assert res.steps == 600
+    assert res.burn_in_steps == 400
+    assert set(res.losses) == {"1p", "2i"}
+    early = np.mean(res.losses["1p"][:15])
+    late = np.mean(res.losses["1p"][-15:])
+    assert late < 0.7 * early, (early, late)
+    aucs = eval_auc(cfg, res.best_params, graph.schema, val)
+    assert aucs["1p"] > 0.6, aucs
