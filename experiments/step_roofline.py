@@ -114,7 +114,9 @@ def measure(cfg) -> dict:
     prec = _precision(cfg)
     k = 2048
 
-    @jax.jit
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("n",))
     def control(x, w, n):
         def body(c, _):
             c = jnp.dot(c, w, precision=prec,

@@ -100,7 +100,8 @@ def make_sharded_train_step(cfg: GQEConfig, optimizer, mesh, params_like: dict):
     return sharded_step
 
 
-def make_sharded_scan_train_step(cfg: GQEConfig, optimizer, mesh):
+def make_sharded_scan_train_step(cfg: GQEConfig, optimizer, mesh,
+                                 neighbor_tables=None):
     """Sharded version of training/device_data.py::make_scan_train_step: the
     scan mega-step (n_steps per dispatch, on-device batch selection from an
     HBM-resident query pool) compiled by GSPMD over `mesh` — DP over the
@@ -117,7 +118,10 @@ def make_sharded_scan_train_step(cfg: GQEConfig, optimizer, mesh):
     Returns run(params, opt_state, pool, structure, key, n_steps, weight,
     use_hard) -> (params, opt_state, mean_loss). params must already be
     sharded (parallel.shard_params); pool arrays may live on one device —
-    they are placed replicated at the first call."""
+    they are placed replicated at the first call. neighbor_tables enables
+    the depth>0 SAGE encoder inside the sharded scan (tables placed
+    replicated; the row-sharded table gathers compile to GSPMD
+    collectives)."""
     import functools
 
     import jax.numpy as jnp
@@ -133,8 +137,8 @@ def make_sharded_scan_train_step(cfg: GQEConfig, optimizer, mesh):
         donate_argnames=("params", "opt_state"),
     )
     def scan_fn(params, opt_state, anchors, rels, inter_modes, targets, negs,
-                neg_counts, hard, hard_counts, structure, key, n_steps,
-                weight, use_hard):
+                neg_counts, hard, hard_counts, tables, structure, key,
+                n_steps, weight, use_hard):
         n = anchors.shape[0]
 
         def body(carry, t):
@@ -154,10 +158,17 @@ def make_sharded_scan_train_step(cfg: GQEConfig, optimizer, mesh):
             neg = jnp.take_along_axis(pool, (j % cnt)[:, None], axis=1)[:, 0]
 
             def loss_fn(p):
+                encode_fn = None
+                if cfg.depth > 0 and tables is not None:
+                    from graphqembed_tpu.models.encoders import (
+                        make_deep_encoder,
+                    )
+                    encode_fn = make_deep_encoder(cfg, p, tables, cfg.depth,
+                                                  cfg.aggregator)
                 return weight * gqe.margin_loss_rows(
                     cfg, p, structure, anchors[idx], rels[idx],
                     inter_modes[idx], targets[idx], neg,
-                    jnp.ones(b, jnp.bool_))
+                    jnp.ones(b, jnp.bool_), encode_fn=encode_fn)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -169,6 +180,8 @@ def make_sharded_scan_train_step(cfg: GQEConfig, optimizer, mesh):
         return params, opt_state, jnp.mean(losses)
 
     rep = replicated(mesh)
+    placed_tables = (None if neighbor_tables is None
+                     else jax.device_put(neighbor_tables, rep))
 
     def run(params, opt_state, pool, structure: str, key, n_steps: int,
             weight: float, use_hard: bool):
@@ -183,7 +196,7 @@ def make_sharded_scan_train_step(cfg: GQEConfig, optimizer, mesh):
                 (pool.anchors, pool.rels, pool.inter_modes, pool.targets,
                  pool.negs, pool.neg_counts, pool.hard, pool.hard_counts))
             pool._replicated = cached = (rep, placed)
-        return scan_fn(params, opt_state, *cached[1], structure, key, n_steps,
-                       np.float32(weight), use_hard)
+        return scan_fn(params, opt_state, *cached[1], placed_tables,
+                       structure, key, n_steps, np.float32(weight), use_hard)
 
     return run

@@ -153,11 +153,12 @@ class DeviceTrainData:
         return self
 
 
-def make_scan_train_step(cfg: GQEConfig, optimizer):
+def make_scan_train_step(cfg: GQEConfig, optimizer, neighbor_tables=None):
     """Returns scan_fn(params, opt_state, pool, structure, key, n_steps,
     weight, use_hard) -> (params, opt_state, mean_loss): n_steps training
     steps in ONE dispatch. use_hard=True draws negatives from the hard pool on
-    odd steps (intersection structures)."""
+    odd steps (intersection structures). neighbor_tables enables the depth>0
+    SAGE encoder (passed as a jit argument, not a closure constant)."""
 
     @functools.partial(
         jax.jit,
@@ -165,8 +166,8 @@ def make_scan_train_step(cfg: GQEConfig, optimizer):
         donate_argnames=("params", "opt_state"),
     )
     def scan_fn(params, opt_state, anchors, rels, inter_modes, targets, negs,
-                neg_counts, hard, hard_counts, structure, key, n_steps,
-                weight, use_hard):
+                neg_counts, hard, hard_counts, tables, structure, key,
+                n_steps, weight, use_hard):
         n = anchors.shape[0]
         b = cfg.batch_size
 
@@ -186,10 +187,17 @@ def make_scan_train_step(cfg: GQEConfig, optimizer):
             neg = jnp.take_along_axis(pool, (j % cnt)[:, None], axis=1)[:, 0]
 
             def loss_fn(p):
+                encode_fn = None
+                if cfg.depth > 0 and tables is not None:
+                    from graphqembed_tpu.models.encoders import (
+                        make_deep_encoder,
+                    )
+                    encode_fn = make_deep_encoder(cfg, p, tables, cfg.depth,
+                                                  cfg.aggregator)
                 return weight * gqe.margin_loss_rows(
                     cfg, p, structure, anchors[idx], rels[idx],
                     inter_modes[idx], targets[idx], neg,
-                    jnp.ones(b, jnp.bool_))
+                    jnp.ones(b, jnp.bool_), encode_fn=encode_fn)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -205,7 +213,8 @@ def make_scan_train_step(cfg: GQEConfig, optimizer):
         return scan_fn(params, opt_state, pool.anchors, pool.rels,
                        pool.inter_modes, pool.targets, pool.negs,
                        pool.neg_counts, pool.hard, pool.hard_counts,
-                       structure, key, n_steps, np.float32(weight), use_hard)
+                       neighbor_tables, structure, key, n_steps,
+                       np.float32(weight), use_hard)
 
     return run
 

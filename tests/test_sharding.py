@@ -108,3 +108,56 @@ def test_sharded_scan_matches_single_device(setup):
                                np.asarray(p1["proj"]["W"]), rtol=5e-4, atol=5e-5)
     # table rows stay row-sharded through the scan (no silent replication)
     assert p8["table"].sharding.spec[0] == "data"
+
+
+def test_sharded_scan_depth1_matches_single_device(setup):
+    """GSPMD scan mega-step with the depth-1 SAGE encoder: sharded vs
+    single-device, same pools/keys -> same losses and params to f32
+    tolerance (DP psum reassociation)."""
+    from graphqembed_tpu.models.encoders import NeighborTables
+    from graphqembed_tpu.models.params import init_params
+    from graphqembed_tpu.parallel import make_sharded_scan_train_step
+    from graphqembed_tpu.training.device_data import (
+        DeviceTrainData,
+        make_scan_train_step,
+    )
+
+    graph, cfg0, _, _ = setup
+    cfg = GQEConfig(embed_dim=16, projection="bilinear", batch_size=32,
+                    lr=0.03, depth=1, seed=0)
+    tables = NeighborTables.build(graph, sample_size=4, seed=0)
+    params = init_params(cfg, graph.schema, jax.random.key(6))
+    s = QuerySampler(graph, np.random.default_rng(8), max_negs=10)
+    data = DeviceTrainData(graph.schema,
+                           s.sample_many("1p", 120) + s.sample_many("2i", 120))
+    mesh = make_mesh(8)
+    optimizer = optax.adam(cfg.lr)
+    key = jax.random.key(4)
+
+    p1 = jax.tree.map(lambda x: x.copy(), params)
+    o1 = optimizer.init(p1)
+    scan1 = make_scan_train_step(cfg, optimizer, neighbor_tables=tables)
+
+    p8 = shard_params(jax.tree.map(lambda x: x.copy(), params), mesh)
+    o8 = optimizer.init(p8)
+    scan8 = make_sharded_scan_train_step(cfg, optimizer, mesh,
+                                         neighbor_tables=tables)
+
+    for i, structure in enumerate(["1p", "2i"]):
+        k = jax.random.fold_in(key, i)
+        p1, o1, l1 = scan1(p1, o1, data.pools[structure], structure, k, 4,
+                           1.0, structure == "2i")
+        p8, o8, l8 = scan8(p8, o8, data.pools[structure], structure, k, 4,
+                           1.0, structure == "2i")
+        np.testing.assert_allclose(float(l1), float(l8), rtol=1e-4)
+    # param tolerance looser than the depth-0 scan test: Adam normalizes the
+    # psum-reassociation noise in small encoder grads toward ±lr over the 8
+    # steps (observed ~1.5e-4 on isolated elements)
+    n = params["table"].shape[0]
+    np.testing.assert_allclose(np.asarray(p8["table"])[:n],
+                               np.asarray(p1["table"]), rtol=5e-4, atol=4e-4)
+    for k2 in ("W_self", "W_rel"):
+        np.testing.assert_allclose(np.asarray(p8["encoder"][k2]),
+                                   np.asarray(p1["encoder"][k2]),
+                                   rtol=5e-4, atol=4e-4)
+    assert p8["table"].sharding.spec[0] == "data"
