@@ -135,13 +135,25 @@ def measure(cfg) -> dict:
         t0 = time.perf_counter()
         out = fn()
         jax.block_until_ready(out)
-        float(jnp.sum(out[:1]))
+        float(jnp.sum(out.ravel()[:1]))  # value-read fence (works for scalars)
         return time.perf_counter() - t0
 
-    # difference timing: two window sizes, slope absorbs RTT
-    t1 = timed(lambda: control(x, w, n))
-    t2 = timed(lambda: control(x, w, 4 * n))
-    per_mm = (t2 - t1) / (3 * n)
+    def theil_sen(run_fn, windows, reps=2):
+        """Median-of-pairwise-slopes of time vs work (bench.py §7
+        methodology): the intercept absorbs RTT/dispatch constants and the
+        median rejects tunnel spikes that poison two-point differences."""
+        for w_ in windows:                      # compile every window first
+            jax.block_until_ready(run_fn(w_))
+        points = []
+        for _ in range(reps):
+            for w_ in windows:
+                points.append((w_, timed(lambda: run_fn(w_))))
+        slopes = [(tj - ti) / (nj - ni)
+                  for i, (ni, ti) in enumerate(points)
+                  for nj, tj in points[i + 1:] if nj != ni]
+        return float(np.median(slopes))
+
+    per_mm = theil_sen(lambda m_: control(x, w, m_), (n, 3 * n, 5 * n))
     mxu_tflops = 2 * k**3 / per_mm / 1e12
 
     # step timing: the scan train step at bench shapes (same engine as
@@ -166,17 +178,19 @@ def measure(cfg) -> dict:
     key = jax.random.key(0)
     state = {"p": params, "o": opt_state}
 
-    def run(n_steps, k0):
+    ctr = {"i": 0}
+
+    def run(n_steps):
+        ctr["i"] += 1
         p, o = state["p"], state["o"]
         p, o, loss = scan(p, o, data.pools["3i"], "3i",
-                          jax.random.fold_in(key, k0), n_steps, 1.0, True)
+                          jax.random.fold_in(key, ctr["i"]), n_steps, 1.0,
+                          True)
         state["p"], state["o"] = p, o
         return loss
 
-    jax.block_until_ready(run(100, 999))
-    ta = timed(lambda: run(500, 1))
-    tb = timed(lambda: run(3000, 2))
-    step_s = (tb - ta) / 2500
+    jax.block_until_ready(run(100))
+    step_s = theil_sen(run, (500, 2500, 4500))
     return {"mxu_tflops_at_step_precision": mxu_tflops,
             "step_ms": step_s * 1e3,
             "queries_per_sec": cfg.batch_size / step_s,
