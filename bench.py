@@ -35,7 +35,7 @@ def build_workload(scale=40.0, n_queries=1500, batch_size=512, embed_dim=128,
 
 
 def bench_jax(graph, cfg, queries, n_steps=2000, warmup_steps=100,
-              sparse: bool = False) -> float:
+              sparse: bool = False, data=None) -> float:
     """Device-resident pipeline: query pools live in HBM, lax.scan mega-steps
     (100 train steps per dispatch), alternating 2p / 3i chunks.
 
@@ -44,19 +44,25 @@ def bench_jax(graph, cfg, queries, n_steps=2000, warmup_steps=100,
     table work (gradient scatter into a zeros [N, d] + 3-array Adam sweep)
     dominates the step: sparse already wins at N=35k rows (1.22M vs 1.09M
     q/s on v5e) and the gap widens with N; dense remains the bit-faithful
-    reference-semantics default in training."""
+    reference-semantics default in training.
+
+    cfg.storage_dtype="bfloat16" stores the table + Adam moments in bf16
+    (dense: fused one-pass stochastic-rounding Pallas Adam via FusedAdamOpt;
+    sparse: SR row writes) — halves the step's dominant HBM traffic
+    (docs/DESIGN.md §10); quality delta pinned in RESULTS_storage_bf16.md."""
     import jax
     import optax
 
     from graphqembed_tpu.models.params import init_params
     from graphqembed_tpu.training.device_data import (
         DeviceTrainData,
+        default_optimizer,
         make_scan_train_step,
         make_scan_train_step_sparse,
     )
     from graphqembed_tpu.training.sparse_adam import init_lazy_adam
 
-    data = DeviceTrainData(graph.schema, queries)
+    data = data or DeviceTrainData(graph.schema, queries)
     params = init_params(cfg, graph.schema, jax.random.key(0))
     optimizer = optax.adam(cfg.lr)
     key = jax.random.key(0)
@@ -82,6 +88,7 @@ def bench_jax(graph, cfg, queries, n_steps=2000, warmup_steps=100,
                 i += 1
             return (params, table, table_state, opt_state)
     else:
+        optimizer = default_optimizer(cfg)  # FusedAdamOpt for bf16 storage
         opt_state = optimizer.init(params)
         scan = make_scan_train_step(cfg, optimizer)
         state = (params, opt_state)
@@ -184,26 +191,52 @@ def bench_oracle(graph, cfg, queries, n_steps=8, warmup=1) -> float:
     return n_steps * cfg.batch_size / dt
 
 
-def main():
+def _variants(cfg):
+    """The benchmarked configs. Quality guards (committed evidence):
+    bf16 compute = macro AUC Δ −0.0014 (RESULTS_bf16.md); bf16 storage+SR =
+    RESULTS_storage_bf16.md. fp32 dense remains the oracle-parity config."""
+    import dataclasses
+
+    bf16 = dataclasses.replace(cfg, compute_dtype="bfloat16",
+                               storage_dtype="bfloat16")
+    return [
+        ("fp32-dense", cfg, False),
+        ("fp32-sparse", cfg, True),
+        ("bf16-dense-fused", bf16, False),
+        ("bf16-sparse", bf16, True),
+    ]
+
+
+def main(probe: bool = False):
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_gqe_xla_cache")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+    from graphqembed_tpu.training.device_data import DeviceTrainData
+
     graph, cfg, queries = build_workload()
-    dense_qps = bench_jax(graph, cfg, queries)
-    sparse_qps = bench_jax(graph, cfg, queries, sparse=True)
-    jax_qps = max(dense_qps, sparse_qps)
+    data = DeviceTrainData(graph.schema, queries)
+    results = {}
+    for name, vcfg, sparse in _variants(cfg):
+        results[name] = bench_jax(graph, vcfg, queries, sparse=sparse,
+                                  data=data)
+        if probe:
+            print(json.dumps({"variant": name,
+                              "qps": round(results[name], 1)}), flush=True)
+    jax_qps = max(results.values())
     oracle_qps = bench_oracle(graph, cfg, queries)
     print(json.dumps({
         "metric": "train queries/sec/chip, bio-synth 2p+3i, bilinear d=128 "
-                  "B=512 (best of dense/sparse-adam)",
+                  "B=512 (best of fp32/bf16-storage x dense/sparse Adam; "
+                  "quality deltas pinned in RESULTS_bf16/_storage_bf16.md)",
         "value": round(jax_qps, 1),
         "unit": "queries/s",
         "vs_baseline": round(jax_qps / oracle_qps, 2),
+        "variants": {k: round(v, 1) for k, v in results.items()},
     }))
 
 
 if __name__ == "__main__":
-    main()
+    main(probe="--probe" in sys.argv)

@@ -37,6 +37,15 @@ class GQEConfig:
     depth: int = 0                   # 0 = DirectEncoder; >0 = SAGE-style deep encoder
     aggregator: str = "mean"         # deep-encoder neighbor aggregator: mean | pool
     compute_dtype: str = "float32"   # "bfloat16" for perf runs; fp32 for parity
+    # Storage precision for the [N, d] node table AND its Adam moments —
+    # the dominant HBM traffic of the dense train step (docs/DESIGN.md §10:
+    # the step runs AT the roofline of its table traffic; halving table bytes
+    # is the identified next lever). "bfloat16" halves those bytes; updates
+    # are written with STOCHASTIC ROUNDING (ops/fused_adam.py) because
+    # round-to-nearest bf16 stalls the Adam moments ((1-β2)·g² vanishes below
+    # bf16's 8-bit mantissa). Operator parameters (proj/inter) stay fp32 —
+    # they are KBs and not a traffic term. Quality delta: RESULTS_bf16.md.
+    storage_dtype: str = "float32"   # "bfloat16" = bf16 table + moments (SR)
 
     # --- training protocol (SURVEY.md §2.5) ---
     lr: float = 0.01
@@ -83,6 +92,7 @@ class GQEConfig:
         assert self.aggregator in ("mean", "pool"), self.aggregator
         assert 0 <= self.depth <= 2, self.depth
         assert self.compute_dtype in ("float32", "bfloat16")
+        assert self.storage_dtype in ("float32", "bfloat16")
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)

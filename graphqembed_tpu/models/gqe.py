@@ -56,8 +56,15 @@ def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-24) -> jnp.ndar
 
 
 def encode(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
-    """Embedding gather + L2 norm: ids [...]-> [..., d]."""
-    return l2_normalize(jnp.take(table, ids, axis=0))
+    """Embedding gather + L2 norm: ids [...]-> [..., d].
+
+    bf16-storage tables upcast AFTER the gather (f32 math everywhere
+    downstream); the upcast placement also makes the table's cotangent
+    bfloat16, so the dense grad materialization halves its bytes too."""
+    rows = jnp.take(table, ids, axis=0)
+    if rows.dtype != jnp.float32:
+        rows = rows.astype(jnp.float32)
+    return l2_normalize(rows)
 
 
 def project(cfg: GQEConfig, params: Params, x: jnp.ndarray,
@@ -289,7 +296,7 @@ def embed_query_from_rows(cfg: GQEConfig, params: Params, structure: str,
     """Like embed_query_rows but anchors arrive as pre-gathered RAW table rows
     [B, A, d] (normalized here) — used by the sparse-table-update train step,
     where gradients flow to the gathered rows instead of the full table."""
-    e = lambda i: l2_normalize(anchor_rows[:, i])
+    e = lambda i: l2_normalize(anchor_rows[:, i].astype(jnp.float32))
     P = lambda x, i: project_rows(cfg, params, x, rels[:, i])
     I = lambda zs: intersect_rows(cfg, params, zs, inter_modes)
     if structure == "1p":
@@ -317,8 +324,9 @@ def margin_loss_from_rows(cfg: GQEConfig, params: Params, structure: str,
     a = rows.shape[1] - 2
     q = embed_query_from_rows(cfg, params, structure, rows[:, :a], rels,
                               inter_modes)
-    pos = score(q, l2_normalize(rows[:, a]), cfg.scoring)
-    neg = score(q, l2_normalize(rows[:, a + 1]), cfg.scoring)
+    pos = score(q, l2_normalize(rows[:, a].astype(jnp.float32)), cfg.scoring)
+    neg = score(q, l2_normalize(rows[:, a + 1].astype(jnp.float32)),
+                cfg.scoring)
     return jnp.mean(jax.nn.relu(cfg.margin - pos + neg))
 
 

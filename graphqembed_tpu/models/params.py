@@ -30,8 +30,13 @@ def init_params(cfg: GQEConfig, schema: Schema, key: jax.Array) -> dict:
     n, r, m = schema.n_nodes, schema.n_relations, len(schema.modes)
     k_table, k_proj, k_pre, k_post = jax.random.split(key, 4)
     params: dict = {
-        # normalized at lookup (SURVEY.md §2.3), so unit-variance init is fine
-        "table": jax.random.normal(k_table, (n, d), jnp.float32),
+        # normalized at lookup (SURVEY.md §2.3), so unit-variance init is
+        # fine. storage_dtype="bfloat16" stores the table (and its Adam
+        # moments, via make_scan_train_step_fused) at half the HBM bytes —
+        # the dense step's dominant traffic term (docs/DESIGN.md §10);
+        # gqe.encode upcasts to f32 after the gather.
+        "table": jax.random.normal(k_table, (n, d), jnp.float32).astype(
+            jnp.dtype(cfg.storage_dtype)),
     }
     if cfg.projection == "transe":
         params["proj"] = {"r": jax.random.normal(k_proj, (r, d)) / jnp.sqrt(d)}

@@ -153,12 +153,75 @@ class DeviceTrainData:
         return self
 
 
+class FusedAdamOpt:
+    """Optimizer shim for the scan drivers backed by ops/fused_adam.py: the
+    whole Adam update is ONE aliased HBM pass per leaf per step, and bfloat16
+    leaves (cfg.storage_dtype="bfloat16") are written with on-core STOCHASTIC
+    ROUNDING — the only correct way to keep Adam moments in bf16 (nearest
+    rounding stalls them; see ops/fused_adam.py docstring).
+
+    Not an optax.GradientTransformation on purpose: optax's contract is
+    `params + updates`, and that final ADD would itself round-to-nearest in
+    bf16 — the new parameter value must be produced in f32 and
+    stochastically rounded in the same kernel pass. State = (mu, nu, count).
+    lr: float or schedule fn(count) -> lr."""
+
+    def __init__(self, lr):
+        self.lr = lr
+
+    def init(self, params):
+        return (jax.tree.map(jnp.zeros_like, params),
+                jax.tree.map(jnp.zeros_like, params),
+                jnp.zeros((), jnp.int32))
+
+    def apply(self, params, grads, state):
+        from graphqembed_tpu.ops.fused_adam import fused_adam_tree
+        mu, nu, count = state
+        count = count + 1
+        lr = self.lr(count) if callable(self.lr) else jnp.float32(self.lr)
+        params, mu, nu = fused_adam_tree(params, grads, mu, nu, count, lr)
+        return params, (mu, nu, count)
+
+
+def _apply_optimizer(optimizer, params, grads, opt_state):
+    """One optimizer step for either an optax transformation or FusedAdamOpt
+    (which must own the parameter write — see FusedAdamOpt docstring)."""
+    if isinstance(optimizer, FusedAdamOpt):
+        return optimizer.apply(params, grads, opt_state)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    return optax.apply_updates(params, updates), opt_state
+
+
+def _check_storage_optimizer(cfg: GQEConfig, optimizer):
+    """bf16 storage is only sound under stochastic-rounding writes: a plain
+    optax optimizer would create bf16 moments and round-to-nearest every
+    update away (ops/fused_adam.py). Fail loudly instead of training a
+    frozen table."""
+    if cfg.storage_dtype != "float32" and not isinstance(optimizer,
+                                                         FusedAdamOpt):
+        raise ValueError(
+            "storage_dtype=bfloat16 requires the stochastic-rounding "
+            "optimizer (FusedAdamOpt); got a plain optax transformation")
+
+
+def default_optimizer(cfg: GQEConfig, lr=None):
+    """The right Adam for the config: FusedAdamOpt (one-pass, SR) for bf16
+    storage, optax.adam otherwise."""
+    lr = cfg.lr if lr is None else lr
+    if cfg.storage_dtype != "float32":
+        return FusedAdamOpt(lr)
+    return optax.adam(lr)
+
+
 def make_scan_train_step(cfg: GQEConfig, optimizer, neighbor_tables=None):
     """Returns scan_fn(params, opt_state, pool, structure, key, n_steps,
     weight, use_hard) -> (params, opt_state, mean_loss): n_steps training
     steps in ONE dispatch. use_hard=True draws negatives from the hard pool on
     odd steps (intersection structures). neighbor_tables enables the depth>0
-    SAGE encoder (passed as a jit argument, not a closure constant)."""
+    SAGE encoder (passed as a jit argument, not a closure constant).
+    optimizer: optax transformation or FusedAdamOpt (required for bf16
+    storage)."""
+    _check_storage_optimizer(cfg, optimizer)
 
     @functools.partial(
         jax.jit,
@@ -200,8 +263,8 @@ def make_scan_train_step(cfg: GQEConfig, optimizer, neighbor_tables=None):
                     jnp.ones(b, jnp.bool_), encode_fn=encode_fn)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
+            params, opt_state = _apply_optimizer(optimizer, params, grads,
+                                                 opt_state)
             return (params, opt_state), loss
 
         (params, opt_state), losses = jax.lax.scan(
@@ -302,7 +365,7 @@ def make_scan_train_step_sparse(cfg: GQEConfig, small_optimizer):
         def body(carry, t):
             small_params, table, table_state, opt_state = carry
             k = jax.random.fold_in(key, t)
-            k_idx, k_neg = jax.random.split(k)
+            k_idx, k_neg, k_opt = jax.random.split(k, 3)
             idx = jax.random.randint(k_idx, (b,), 0, n)
             j = jax.random.randint(k_neg, (b,), 0, 1 << 30)
             if use_hard:
@@ -325,7 +388,7 @@ def make_scan_train_step_sparse(cfg: GQEConfig, small_optimizer):
                 loss_fn, argnums=(0, 1))(rows, small_params)
             table, table_state = lazy_adam_update(
                 table, table_state, ids.reshape(-1),
-                g_rows.reshape(-1, rows.shape[-1]), lr=cfg.lr)
+                g_rows.reshape(-1, rows.shape[-1]), lr=cfg.lr, key=k_opt)
             updates, opt_state = small_optimizer.update(
                 g_small, opt_state, small_params)
             small_params = optax.apply_updates(small_params, updates)
@@ -374,6 +437,8 @@ def make_multitask_mega_step(cfg: GQEConfig, optimizer,
     -> (params, opt_state, losses [n_rounds, n_structures])."""
     from graphqembed_tpu.training.loop import structure_weight
 
+    _check_storage_optimizer(cfg, optimizer)
+
     structures = list(structures or data.structures)
     weights = [np.float32(structure_weight(cfg, s)) for s in structures]
     use_hards = [s in INTERSECT_STRUCTURES and cfg.hard_neg_alternate
@@ -416,8 +481,8 @@ def make_multitask_mega_step(cfg: GQEConfig, optimizer,
                     jnp.ones(b, jnp.bool_), encode_fn=encode_fn)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
+            params, opt_state = _apply_optimizer(optimizer, params, grads,
+                                                 opt_state)
             return (params, opt_state), loss
 
         (params, opt_state), losses = jax.lax.scan(
@@ -497,7 +562,7 @@ def run_train_device_mega(cfg: GQEConfig, schema: Schema, params: dict,
     total_steps = total_steps if total_steps is not None else cfg.max_iter
     burn_in_steps = (burn_in_steps if burn_in_steps is not None
                      else min(cfg.max_burn_in, total_steps))
-    optimizer = optimizer or optax.adam(cfg.lr)
+    optimizer = optimizer or default_optimizer(cfg)
     opt_state = optimizer.init(params)
     key = key if key is not None else jax.random.key(cfg.seed)
     mega_burn = (make_multitask_mega_step(cfg, optimizer, data, ["1p"],
@@ -629,7 +694,7 @@ def run_train_device(cfg: GQEConfig, schema: Schema, params: dict,
     per dispatch. Returns (params, opt_state, losses_by_structure)."""
     from graphqembed_tpu.training.loop import structure_weight
 
-    optimizer = optax.adam(cfg.lr)
+    optimizer = default_optimizer(cfg)
     opt_state = optimizer.init(params)
     scan = make_scan_train_step(cfg, optimizer)
     key = key if key is not None else jax.random.key(cfg.seed)

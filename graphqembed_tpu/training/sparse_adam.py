@@ -67,31 +67,54 @@ def dedup_row_grads(ids: jnp.ndarray, grads: jnp.ndarray, n_rows: int
 def lazy_adam_update(table: jnp.ndarray, state: LazyAdamState,
                      ids: jnp.ndarray, row_grads: jnp.ndarray,
                      lr: float, b1: float = 0.9, b2: float = 0.999,
-                     eps: float = 1e-8) -> tuple[jnp.ndarray, LazyAdamState]:
-    """Apply one lazy-Adam step for the rows in `ids` (duplicates allowed)."""
+                     eps: float = 1e-8, key=None
+                     ) -> tuple[jnp.ndarray, LazyAdamState]:
+    """Apply one lazy-Adam step for the rows in `ids` (duplicates allowed).
+
+    bfloat16 tables (cfg.storage_dtype="bfloat16"): math runs in f32 on the
+    gathered rows and the writes are STOCHASTICALLY ROUNDED (requires `key`).
+    Nearest rounding would stall the moments — (1−β2)·g² is >8 bits below nu
+    — and bias the parameter writes (see ops/fused_adam.py). Only the
+    touched [L, d] rows need random bits, so this stays O(touched rows)."""
     n = table.shape[0]
-    uids, g = dedup_row_grads(ids, row_grads, n)
+    f32 = jnp.float32
+    uids, g = dedup_row_grads(ids, row_grads.astype(f32), n)
     valid = uids < n
     safe = jnp.where(valid, uids, 0)
     t = state.count + 1
 
     delta = t - 1 - state.stamp[safe]               # steps missed (>= 0)
-    decay1 = jnp.power(b1, delta.astype(table.dtype))[:, None]
-    decay2 = jnp.power(b2, delta.astype(table.dtype))[:, None]
-    mu = state.mu[safe] * decay1 * b1 + (1.0 - b1) * g
-    nu = state.nu[safe] * decay2 * b2 + (1.0 - b2) * (g * g)
-    tf = t.astype(table.dtype)
-    mu_hat = mu / (1.0 - jnp.power(b1, tf))
-    nu_hat = nu / (1.0 - jnp.power(b2, tf))
+    decay1 = jnp.power(f32(b1), delta.astype(f32))[:, None]
+    decay2 = jnp.power(f32(b2), delta.astype(f32))[:, None]
+    mu = state.mu[safe].astype(f32) * decay1 * b1 + (1.0 - b1) * g
+    nu = state.nu[safe].astype(f32) * decay2 * b2 + (1.0 - b2) * (g * g)
+    tf = t.astype(f32)
+    mu_hat = mu / (1.0 - jnp.power(f32(b1), tf))
+    nu_hat = nu / (1.0 - jnp.power(f32(b2), tf))
     step = -lr * mu_hat / (jnp.sqrt(nu_hat) + eps)
 
     # uids are unique by construction (duplicates → sentinel): telling XLA so
     # avoids the serialized/sorted scatter path on TPU
     drop = dict(mode="drop", unique_indices=True)
-    table = table.at[uids].add(jnp.where(valid[:, None], step, 0.0), **drop)
+    if table.dtype == jnp.bfloat16:
+        assert key is not None, "bf16 sparse Adam needs a PRNG key (SR writes)"
+        from graphqembed_tpu.ops.fused_adam import sr_to_bf16_ref
+        kp, km, kn = jax.random.split(key, 3)
+        bits = lambda k: jax.random.bits(k, step.shape, jnp.uint32)
+        new_rows = sr_to_bf16_ref(table[safe].astype(f32) + step, bits(kp))
+        table = table.at[uids].set(
+            jnp.where(valid[:, None], new_rows, 0).astype(table.dtype), **drop)
+        mu_w = sr_to_bf16_ref(mu, bits(km))
+        nu_w = sr_to_bf16_ref(nu, bits(kn))
+    else:
+        table = table.at[uids].add(
+            jnp.where(valid[:, None], step, 0.0).astype(table.dtype), **drop)
+        mu_w, nu_w = mu, nu
     new_state = LazyAdamState(
-        mu=state.mu.at[uids].set(jnp.where(valid[:, None], mu, 0.0), **drop),
-        nu=state.nu.at[uids].set(jnp.where(valid[:, None], nu, 0.0), **drop),
+        mu=state.mu.at[uids].set(
+            jnp.where(valid[:, None], mu_w, 0).astype(state.mu.dtype), **drop),
+        nu=state.nu.at[uids].set(
+            jnp.where(valid[:, None], nu_w, 0).astype(state.nu.dtype), **drop),
         stamp=state.stamp.at[uids].set(
             jnp.where(valid, t, 0).astype(jnp.int32), **drop),
         count=t,
