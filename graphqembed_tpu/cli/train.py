@@ -167,7 +167,8 @@ def main(argv=None):
         from graphqembed_tpu.data.grain_pipeline import run_train_stream
         res = run_train_stream(
             cfg, graph.schema, params, Path(args.data_dir) / "train_queries",
-            val_queries=val,
+            val_queries=val, ckpt_manager=mgr,
+            ckpt_every=args.ckpt_every, resume=args.resume,
             log=lambda step, s, l: logging.info(
                 "step %d [%s] loss %.4f", step, s, l))
     elif args.pipeline == "device":

@@ -39,6 +39,15 @@ class QueryShardSource(grain.RandomAccessDataSource):
     def __len__(self) -> int:
         return int(self._offsets[-1])
 
+    def __repr__(self) -> str:
+        # grain validates checkpointed iterator state against repr(source);
+        # the default repr carries the object address and never matches
+        # across processes — keep it stable and content-addressed
+        return (f"QueryShardSource(path={self.path}, "
+                f"structure={self.structure}, n={len(self)}, "
+                f"neg_width={self.neg_width}, "
+                f"hard_neg_width={self.hard_neg_width})")
+
     def _shard(self, si: int) -> dict:
         if si not in self._cache:
             z = np.load(self.path / self.entries[si]["file"])
@@ -116,12 +125,24 @@ def make_query_loader(path: str | Path, schema, structure: str,
 def run_train_stream(cfg, schema, params, data_dir, val_queries=None,
                      total_steps: int | None = None,
                      burn_in_steps: int | None = None, seed: int | None = None,
-                     worker_count: int = 0, log=None):
+                     worker_count: int = 0, log=None,
+                     ckpt_manager=None, ckpt_every: int = 0,
+                     resume: bool = False):
     """Beyond-RAM host training: the §2.5 protocol (burn-in → weighted
     multitask, hard-neg alternation, convergence, best-val) streaming batches
     from on-disk npz query shards via grain instead of holding queries in
     RAM (TrainData) or HBM (DeviceTrainData). Batches are mixed-formula, so
     steps run the per-row model path (gqe.margin_loss_rows).
+
+    Checkpoint/resume (ckpt_manager + ckpt_every, resume=True restores the
+    latest): saves params/opt_state/best_params via orbax plus — in JSON
+    meta — every piece of host state the stream schedule depends on: the
+    grain iterator state PER STRUCTURE (exactly-once batch consumption:
+    grain replays from the exact record index), the numpy RNG state
+    (structure picks + negative draws), the hard-neg toggle, burn-in
+    counters, and the convergence-window tails. A killed run therefore
+    resumes on the identical batch sequence (pinned by
+    tests/test_fault_injection.py).
 
     Returns a training/loop.py::TrainResult."""
     import jax
@@ -196,12 +217,66 @@ def run_train_stream(cfg, schema, params, data_dir, val_queries=None,
     burn_series: list[float] = []
     multi_series: list[float] = []
     val_history: list[tuple[int, float]] = []
-    best_val, best_params = -1.0, params
+    # a COPY: params is donated to the first step dispatch, and checkpoints
+    # save best_params before any eval has replaced it
+    best_val = -1.0
+    best_params = jax.tree.map(lambda x: x.copy(), params)
     hard_toggle = 0
     burn_done = 0
     multitask = "1p" not in iters
-    t0 = time.perf_counter()
     step_i = 0
+    last_ckpt = 0
+
+    if resume and ckpt_manager is not None:
+        restored = ckpt_manager.restore_latest(
+            like={"params": params, "opt_state": opt_state,
+                  "best_params": params})
+        if restored is not None:
+            import base64
+
+            state, meta = restored
+            params = state["params"]
+            opt_state = state["opt_state"]
+            best_params = state["best_params"]
+            step_i = last_ckpt = int(meta["step"])
+            hard_toggle = int(meta["hard_toggle"])
+            burn_done = int(meta["burn_done"])
+            multitask = bool(meta["multitask"])
+            best_val = float(meta["best_val"])
+            burn_series = list(meta.get("burn_tail", []))
+            multi_series = list(meta.get("multi_tail", []))
+            # restore_latest already rehydrated this into a Generator;
+            # mutate in place (next_batch closes over `rng`)
+            rng.bit_generator.state = meta["rng_state"].bit_generator.state
+            for s, st64 in meta["iter_states"].items():
+                iters[s].set_state(base64.b64decode(st64))
+
+    def maybe_ckpt():
+        nonlocal last_ckpt
+        if ckpt_manager is None or not ckpt_every or \
+                step_i - last_ckpt < ckpt_every:
+            return
+        import base64
+        import json as _json
+
+        ckpt_manager.save_state(
+            step_i,
+            {"params": params, "opt_state": opt_state,
+             "best_params": best_params},
+            extra={
+                "hard_toggle": hard_toggle, "burn_done": burn_done,
+                "multitask": multitask, "best_val": best_val,
+                "burn_tail": burn_series[-cfg.conv_window:],
+                "multi_tail": multi_series[-cfg.conv_window:],
+                "rng_state": _json.loads(
+                    _json.dumps(rng.bit_generator.state, default=int)),
+                "iter_states": {
+                    s: base64.b64encode(it.get_state()).decode()
+                    for s, it in iters.items()},
+            })
+        last_ckpt = step_i
+
+    t0 = time.perf_counter()
     while step_i < total_steps:
         step_i += 1
         structure = (structures[rng.choice(len(structures), p=p_struct)]
@@ -233,6 +308,7 @@ def run_train_stream(cfg, schema, params, data_dir, val_queries=None,
             if macro > best_val:
                 best_val = macro
                 best_params = jax.tree.map(lambda x: x.copy(), params)
+        maybe_ckpt()
         if multitask and check_conv(multi_series, cfg.conv_window, cfg.tol):
             break
     dt = time.perf_counter() - t0

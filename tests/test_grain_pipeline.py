@@ -84,3 +84,49 @@ def test_run_train_stream_e2e(graph, tmp_path):
     assert late < 0.7 * early, (early, late)
     aucs = eval_auc(cfg, res.best_params, graph.schema, val)
     assert aucs["1p"] > 0.6, aucs
+
+
+def test_run_train_stream_resume_bitwise(graph, tmp_path):
+    """Stream-pipeline resume is exactly-once: a run checkpointed at step k
+    and resumed must end with BITWISE-identical params to an uninterrupted
+    run — grain iterator states, numpy RNG state, hard-neg toggle, and
+    burn-in counters all restore (the pieces the batch sequence depends
+    on)."""
+    import jax
+
+    from graphqembed_tpu.config import GQEConfig
+    from graphqembed_tpu.data.grain_pipeline import run_train_stream
+    from graphqembed_tpu.data.sampling import QuerySampler
+    from graphqembed_tpu.models.params import init_params
+    from graphqembed_tpu.training.checkpoint import CheckpointManager
+
+    s = QuerySampler(graph, np.random.default_rng(3), max_negs=10)
+    data_dir = tmp_path / "q"
+    data_dir.mkdir()
+    save_queries(data_dir, graph.schema,
+                 s.sample_many("1p", 300) + s.sample_many("2i", 150))
+    cfg = GQEConfig(embed_dim=16, projection="transe", batch_size=32,
+                    lr=0.05, seed=1, val_every=10**9, tol=0.0,
+                    conv_window=10**6)
+    p0 = init_params(cfg, graph.schema, jax.random.key(0))
+
+    # uninterrupted control: 200 steps (burn-in 80)
+    res_full = run_train_stream(cfg, graph.schema,
+                                jax.tree.map(lambda x: x.copy(), p0),
+                                data_dir, total_steps=200, burn_in_steps=80)
+
+    # checkpointed run: ckpt every 60 -> kill (stop) at 120, then resume
+    mgr = CheckpointManager(tmp_path / "ck", keep=3)
+    run_train_stream(cfg, graph.schema,
+                     jax.tree.map(lambda x: x.copy(), p0), data_dir,
+                     total_steps=120, burn_in_steps=80,
+                     ckpt_manager=mgr, ckpt_every=60)
+    res_resumed = run_train_stream(cfg, graph.schema,
+                                   jax.tree.map(lambda x: x.copy(), p0),
+                                   data_dir, total_steps=200,
+                                   burn_in_steps=80, ckpt_manager=mgr,
+                                   ckpt_every=60, resume=True)
+    assert res_resumed.steps == 200
+    for a, b in zip(jax.tree.leaves(res_full.params),
+                    jax.tree.leaves(res_resumed.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -106,6 +106,20 @@ def test_trained_auc_matches_oracle():
         tol = 0.03 if k == "macro" else 0.06
         assert abs(v - auc_j[k]) < tol, (k, v, auc_j[k])
 
+    # HARD-negative AUC parity (SURVEY §2.6 "hard-negative AUC reported
+    # separately for intersection types"): the metric the intersection
+    # operators exist for must match the oracle bar too. Tolerances are
+    # wider: hard AUC has ~half the effective sample (only i-structures)
+    # and systematically more variance near its lower values.
+    hard_o = eval_auc_oracle(cfg, res_o.best_params, g.schema, val, seed=9,
+                             hard=True)
+    hard_j = eval_auc(cfg, res_j.best_params, g.schema, val, seed=9,
+                      hard=True)
+    assert set(hard_o) == set(hard_j) <= {"2i", "3i", "ip", "pi", "macro"}
+    for k, v in hard_o.items():
+        tol = 0.04 if k == "macro" else 0.08
+        assert abs(v - hard_j[k]) < tol, ("hard", k, v, hard_j[k])
+
 
 def test_oracle_eval_matches_jax_eval_same_params():
     """Same (untrained) params scored by both eval stacks: the oracle's
@@ -120,3 +134,9 @@ def test_oracle_eval_matches_jax_eval_same_params():
     assert set(a_o) == set(a_j)
     for k in a_o:
         assert abs(a_o[k] - a_j[k]) < 5e-3, (k, a_o[k], a_j[k])
+    # hard-negative protocol: same rng consumption + weighting on both sides
+    h_o = eval_auc_oracle(cfg, p0, g.schema, val, seed=3, hard=True)
+    h_j = eval_auc(cfg, _jax_params(p0), g.schema, val, seed=3, hard=True)
+    assert set(h_o) == set(h_j) <= {"2i", "3i", "ip", "pi", "macro"}
+    for k in h_o:
+        assert abs(h_o[k] - h_j[k]) < 5e-3, ("hard", k, h_o[k], h_j[k])
