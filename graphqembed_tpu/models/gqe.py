@@ -330,6 +330,35 @@ def margin_loss_from_rows(cfg: GQEConfig, params: Params, structure: str,
     return jnp.mean(jax.nn.relu(cfg.margin - pos + neg))
 
 
+def margin_loss_rows_onegather(cfg: GQEConfig, params: Params, structure: str,
+                               anchors: jnp.ndarray, rels: jnp.ndarray,
+                               inter_modes: jnp.ndarray, targets: jnp.ndarray,
+                               negs: jnp.ndarray,
+                               row_mask: jnp.ndarray) -> jnp.ndarray:
+    """margin_loss_rows with ONE fused table gather (direct encoder only).
+
+    Identical math to margin_loss_rows, different autodiff shape: the
+    separate encode() calls (A anchors + target + negative = up to 5 takes)
+    each materialize their OWN dense [N, d] cotangent in the backward pass —
+    zeros + scatter + add per take, ~5x the table bytes. Measured on v5e at
+    N=35k/B=512/3i, that made fwd+bwd 468 µs of a 648 µs step (72%),
+    precision-independent — the real wall of the dense pipeline
+    (docs/DESIGN.md §10 update). Gathering all ids in one take keeps the
+    backward to a single dense scatter. The scan train steps use this path
+    when no custom encoder is active."""
+    ids = jnp.concatenate([anchors, targets[:, None], negs[:, None]], axis=1)
+    rows = jnp.take(params["table"], ids, axis=0)       # [B, A+2, d]
+    a = anchors.shape[1]
+    q = embed_query_from_rows(cfg, params, structure, rows[:, :a], rels,
+                              inter_modes)
+    pos = score(q, l2_normalize(rows[:, a].astype(jnp.float32)), cfg.scoring)
+    neg = score(q, l2_normalize(rows[:, a + 1].astype(jnp.float32)),
+                cfg.scoring)
+    per_row = jax.nn.relu(cfg.margin - pos + neg)
+    w = row_mask.astype(per_row.dtype)
+    return jnp.sum(per_row * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
 def margin_loss_rows(cfg: GQEConfig, params: Params, structure: str,
                      anchors: jnp.ndarray, rels: jnp.ndarray,
                      inter_modes: jnp.ndarray, targets: jnp.ndarray,

@@ -59,6 +59,7 @@ def _load():
         ctypes.c_int, i32p, i32p,                      # modes
         ctypes.c_int, i32p, i32p, i32p, i64p, i64p, i32p, i32p,  # rels+CSR
         ctypes.c_int64, ctypes.c_uint64, ctypes.c_int,  # cap, seed, max_negs
+        ctypes.c_int,                                   # n_threads
         i32p, i32p, i32p, i32p, i32p,                  # outputs
     ]
     _LIB = lib
@@ -153,12 +154,19 @@ def native_sample_arrays(graph: Graph, structure: str, n: int, seed: int = 0,
 
 
 def native_all_edges_1p(graph: Graph, cap: int | None = None, seed: int = 0,
-                        max_negs: int = 16):
+                        max_negs: int = 16, n_threads: int | None = None):
     """EVERY edge as a 1p query with exact negatives (C++, one pass over the
     CSR) — the full-coverage 1p pool (the reference's train_edges IS the edge
     set). If the graph has more than `cap` edges, a uniform ~cap subsample is
     taken. Returns a native_sample_arrays-format dict (no hard pools — 1p has
-    none), or None if the native library is unavailable."""
+    none), or None if the native library is unavailable.
+
+    Full-coverage builds (cap >= n_edges) run on `n_threads` C++ threads
+    (default: all cores; GIL released) writing disjoint output slices —
+    this call was 73% of paper-scale preprocessing wall-clock when
+    sequential. Deterministic for a fixed (seed, n_threads)."""
+    import os
+
     lib = _load()
     if lib is None:
         return None
@@ -175,7 +183,7 @@ def native_all_edges_1p(graph: Graph, cap: int | None = None, seed: int = 0,
         len(schema.modes), ga.mode_lo, ga.mode_hi,
         schema.n_relations, ga.rel_from, ga.rel_to, ga.rel_rev,
         ga.indptr_off, ga.indices_off, ga.indptr_cat, ga.indices_cat,
-        cap, seed, max_negs,
+        cap, seed, max_negs, int(n_threads or os.cpu_count() or 1),
         out_rels, out_anchors, out_targets, out_negs, out_negc)
     z = np.zeros((got, max_negs), np.int32)
     return {

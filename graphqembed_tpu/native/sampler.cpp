@@ -16,9 +16,11 @@
 //               indices_off[r] -> offset into indices_cat
 // Structures: 0=1p 1=2p 2=3p 3=2i 4=3i 5=ip 6=pi  (config.STRUCTURES order).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <random>
+#include <thread>
 #include <unordered_set>
 #include <vector>
 
@@ -55,17 +57,33 @@ struct Graph {
 
 using Set = std::unordered_set<int32_t>;
 
-void project_into(const Graph& g, const Set& src, int rel, Set* out) {
+// Epoch-stamped node set over global ids: O(1) insert/count with no hashing,
+// no allocation, no clearing (reset bumps the epoch) — answer sets at paper
+// scale reach degree^hops ≈ 64k nodes PER QUERY, and unordered_set's hashed
+// inserts were the dominant preprocessing cost (73% of paper-scale wall).
+struct NodeSet {
+  std::vector<uint32_t> stamp;
+  std::vector<int32_t> members;
+  uint32_t epoch = 0;
+
+  void init(size_t n) { stamp.assign(n, 0); epoch = 0; }
+  void reset() { ++epoch; members.clear(); }
+  bool insert(int32_t v) {
+    if (stamp[v] == epoch) return false;
+    stamp[v] = epoch;
+    members.push_back(v);
+    return true;
+  }
+  bool count(int32_t v) const { return stamp[v] == epoch; }
+  size_t size() const { return members.size(); }
+};
+
+void project_into(const Graph& g, const std::vector<int32_t>& src, int rel,
+                  NodeSet* out) {
   for (int32_t v : src) {
     auto [p, n] = g.neighbors(rel, v);
     for (int i = 0; i < n; ++i) out->insert(p[i]);
   }
-}
-
-Set project(const Graph& g, const Set& src, int rel) {
-  Set out;
-  project_into(g, src, rel, &out);
-  return out;
 }
 
 struct Walk {
@@ -80,12 +98,20 @@ struct Sampler {
   std::mt19937_64 rng;
   std::vector<int> live;                       // relations with edges
   std::vector<std::vector<int>> in_rels;       // per mode: rels with to_mode=m
+  // preallocated epoch-stamped sets (answers/branches/hard-neg scratch)
+  NodeSet ns_branch[3], ns_ans, ns_tmp, ns_seen, ns_hard;
 
   Sampler(const Graph& g_, uint64_t seed) : g(g_), rng(seed) {
     for (int r = 0; r < g.n_rels; ++r)
       if (g.rel_nnz(r) > 0) live.push_back(r);
     in_rels.resize(g.n_modes);
     for (int r : live) in_rels[g.rel_to_mode[r]].push_back(r);
+    int32_t n_nodes = 0;
+    for (int m = 0; m < g.n_modes; ++m)
+      n_nodes = std::max(n_nodes, g.mode_hi[m]);
+    for (auto* s : {&ns_branch[0], &ns_branch[1], &ns_branch[2], &ns_ans,
+                    &ns_tmp, &ns_seen, &ns_hard})
+      s->init((size_t)n_nodes);
   }
 
   int32_t pick(const int32_t* p, int n) { return p[rng() % n]; }
@@ -203,52 +229,77 @@ struct Sampler {
     return false;
   }
 
-  // exact answer set + per-branch sets (at the join node for ip)
-  void answers(int structure, const Walk& w, Set* ans,
-               std::vector<Set>* branches) {
-    branches->clear();
+  // one-anchor projection into a NodeSet
+  void project1(int32_t anchor, int rel, NodeSet* out) {
+    out->reset();
+    auto [p, n] = g.neighbors(rel, anchor);
+    for (int i = 0; i < n; ++i) out->insert(p[i]);
+  }
+
+  // exact answer set + per-branch sets (at the join node for ip), all in
+  // preallocated stamped sets. Returns: *ans_out points at the answer set;
+  // ns_branch[0..n_branches) hold the branch sets.
+  void answers(int structure, const Walk& w, NodeSet** ans_out,
+               int* n_branches) {
     switch (structure) {
       case 0: case 1: case 2: {
-        Set cur{w.anchors[0]};
-        for (int i = 0; i < w.n_rels; ++i) cur = project(g, cur, w.rels[i]);
-        branches->push_back(std::move(cur));
-        *ans = (*branches)[0];
+        // chain: ping-pong between ns_branch[0] and ns_tmp per hop
+        project1(w.anchors[0], w.rels[0], &ns_branch[0]);
+        NodeSet* cur = &ns_branch[0];
+        NodeSet* nxt = &ns_tmp;
+        for (int i = 1; i < w.n_rels; ++i) {
+          nxt->reset();
+          project_into(g, cur->members, w.rels[i], nxt);
+          std::swap(cur, nxt);
+        }
+        if (cur != &ns_branch[0]) {         // make branch[0] the final set
+          ns_branch[0].reset();
+          for (int32_t x : cur->members) ns_branch[0].insert(x);
+        }
+        *ans_out = &ns_branch[0];
+        *n_branches = 1;
         return;
       }
       case 3: case 4: {
         for (int b = 0; b < w.n_anchors; ++b)
-          branches->push_back(project(g, Set{w.anchors[b]}, w.rels[b]));
+          project1(w.anchors[b], w.rels[b], &ns_branch[b]);
+        *n_branches = w.n_anchors;
         break;
       }
       case 6: {                                        // pi
-        Set chain = project(g, project(g, Set{w.anchors[0]}, w.rels[0]),
-                            w.rels[1]);
-        branches->push_back(std::move(chain));
-        branches->push_back(project(g, Set{w.anchors[1]}, w.rels[2]));
+        project1(w.anchors[0], w.rels[0], &ns_tmp);
+        ns_branch[0].reset();
+        project_into(g, ns_tmp.members, w.rels[1], &ns_branch[0]);
+        project1(w.anchors[1], w.rels[2], &ns_branch[1]);
+        *n_branches = 2;
         break;
       }
       case 5: {                                        // ip: join at v
-        branches->push_back(project(g, Set{w.anchors[0]}, w.rels[0]));
-        branches->push_back(project(g, Set{w.anchors[1]}, w.rels[1]));
-        Set joined;
-        for (int32_t x : (*branches)[0])
-          if ((*branches)[1].count(x)) joined.insert(x);
-        *ans = project(g, joined, w.rels[2]);
+        project1(w.anchors[0], w.rels[0], &ns_branch[0]);
+        project1(w.anchors[1], w.rels[1], &ns_branch[1]);
+        ns_tmp.reset();
+        for (int32_t x : ns_branch[0].members)
+          if (ns_branch[1].count(x)) ns_tmp.insert(x);
+        ns_ans.reset();
+        project_into(g, ns_tmp.members, w.rels[2], &ns_ans);
+        *ans_out = &ns_ans;
+        *n_branches = 2;
         return;
       }
     }
     // generic intersection at target (2i/3i/pi)
-    ans->clear();
-    for (int32_t x : (*branches)[0]) {
+    ns_ans.reset();
+    for (int32_t x : ns_branch[0].members) {
       bool all = true;
-      for (size_t b = 1; b < branches->size(); ++b)
-        if (!(*branches)[b].count(x)) { all = false; break; }
-      if (all) ans->insert(x);
+      for (int b = 1; b < *n_branches; ++b)
+        if (!ns_branch[b].count(x)) { all = false; break; }
+      if (all) ns_ans.insert(x);
     }
+    *ans_out = &ns_ans;
   }
 
-  int sample_negs(int target_mode, const Set& ans, int32_t* out, int max_negs,
-                  bool exhaustive) {
+  int sample_negs(int target_mode, const NodeSet& ans, int32_t* out,
+                  int max_negs, bool exhaustive) {
     const int32_t lo = g.mode_lo[target_mode], hi = g.mode_hi[target_mode];
     const int64_t n_mode = hi - lo;
     int count = 0;
@@ -258,12 +309,11 @@ struct Sampler {
       // exhaustive caller passes max_negs = n_mode
       return count;
     }
-    Set seen;
+    ns_seen.reset();
     for (int64_t draws = 0; count < max_negs && draws < 50LL * max_negs;
          ++draws) {
       int32_t c = lo + (int32_t)(rng() % n_mode);
-      if (ans.count(c) || seen.count(c)) continue;
-      seen.insert(c);
+      if (ans.count(c) || !ns_seen.insert(c)) continue;
       out[count++] = c;
     }
     return count;
@@ -316,8 +366,6 @@ int gqe_sample_queries(
   int64_t budget = 20LL * n_queries + 100;
 
   Walk w;
-  Set ans;
-  std::vector<Set> branches;
   std::vector<int32_t> scratch;
   while (written < n_queries && budget-- > 0) {
     for (int t = 0; t < max_tries; ++t)
@@ -334,25 +382,36 @@ int gqe_sample_queries(
     mix(w.target);
     if (!dedup.insert(Key{(int64_t)h}).second) continue;
 
-    s.answers(structure, w, &ans, &branches);
+    NodeSet* ans = nullptr;
+    int n_branches = 0;
+    s.answers(structure, w, &ans, &n_branches);
     const int tmode = g.mode_of(w.target);
-    int n_negs = s.sample_negs(tmode, ans, out_negs + (int64_t)written * max_negs,
+    int n_negs = s.sample_negs(tmode, *ans,
+                               out_negs + (int64_t)written * max_negs,
                                max_negs, exhaustive_negs != 0);
     if (n_negs == 0) continue;
 
     int n_hard = 0;
     if (has_hard) {
-      Set partial;
-      for (const Set& b : branches)
-        for (int32_t x : b) partial.insert(x);
-      Set hard;
-      if (structure == 5) {  // ip: project partial matches through r3
-        Set proj = project(g, partial, w.rels[2]);
-        for (int32_t x : proj) if (!ans.count(x)) hard.insert(x);
+      // partial-branch matches (union of branches), minus full answers;
+      // for ip the partial set lives at the join node v and must be
+      // projected through r3 first. ns_hard stamps deduplicate; scratch
+      // collects the survivors.
+      scratch.clear();
+      s.ns_hard.reset();
+      if (structure == 5) {
+        s.ns_tmp.reset();
+        for (int b = 0; b < n_branches; ++b)
+          for (int32_t x : s.ns_branch[b].members) s.ns_tmp.insert(x);
+        s.ns_seen.reset();   // reuse as the projected set
+        project_into(g, s.ns_tmp.members, w.rels[2], &s.ns_seen);
+        for (int32_t x : s.ns_seen.members)
+          if (!ans->count(x) && s.ns_hard.insert(x)) scratch.push_back(x);
       } else {
-        for (int32_t x : partial) if (!ans.count(x)) hard.insert(x);
+        for (int b = 0; b < n_branches; ++b)
+          for (int32_t x : s.ns_branch[b].members)
+            if (!ans->count(x) && s.ns_hard.insert(x)) scratch.push_back(x);
       }
-      scratch.assign(hard.begin(), hard.end());
       if ((int)scratch.size() > max_negs) {
         // uniform subsample without replacement (partial Fisher-Yates)
         for (int i = 0; i < max_negs; ++i) {
@@ -387,66 +446,60 @@ int gqe_sample_queries(
 // pool leaves most embeddings without a single positive gradient at
 // 100k-node scale (round-1 paper-scale failure mode).
 //
+// THREADED (n_threads workers): the (relation, source) space is partitioned
+// into contiguous chunks of ~equal edge count; each worker writes compactly
+// into the output slice starting at its chunk's edge-count prefix (disjoint
+// slices, no locks — each edge yields at most one query), then slices are
+// compacted left and truncated to `cap`. Per-worker RNG streams are seeded
+// from (seed, worker), so results are deterministic for a fixed n_threads
+// (different n_threads → different, equally valid, negative draws).
+//
 // If n_edges_total > cap, a uniform per-edge Bernoulli subsample of ~cap
 // edges is taken. Returns the number of queries written.
-int gqe_all_edges_1p(
-    int n_modes, const int32_t* mode_lo, const int32_t* mode_hi,
-    int n_rels, const int32_t* rel_from_mode, const int32_t* rel_to_mode,
-    const int32_t* rel_rev, const int64_t* indptr_off,
-    const int64_t* indices_off, const int32_t* indptr_cat,
-    const int32_t* indices_cat,
-    int64_t cap, uint64_t seed, int max_negs,
-    int32_t* out_rels,        // [cap, 3]
-    int32_t* out_anchors,     // [cap, 3]
-    int32_t* out_targets,     // [cap]
-    int32_t* out_negs,        // [cap, max_negs]
-    int32_t* out_neg_counts   // [cap]
-) {
-  Graph g;
-  g.n_modes = n_modes; g.mode_lo = mode_lo; g.mode_hi = mode_hi;
-  g.n_rels = n_rels; g.rel_from_mode = rel_from_mode;
-  g.rel_to_mode = rel_to_mode; g.rel_rev = rel_rev;
-  g.indptr_off = indptr_off; g.indices_off = indices_off;
-  g.indices_cat = indices_cat; g.indptr_cat = indptr_cat;
 
+namespace {
+
+struct EdgeChunk {                // [r, s_begin..s_end) plus output offset
+  int r;
+  int32_t s_begin, s_end;
+  int64_t out_off;                // edge-count prefix at chunk start
+};
+
+void all_edges_worker(const Graph& g, const std::vector<EdgeChunk>& chunks,
+                      size_t c_begin, size_t c_end, uint64_t seed,
+                      uint64_t keep_thresh, bool subsample, int max_negs,
+                      int32_t* out_rels, int32_t* out_anchors,
+                      int32_t* out_targets, int32_t* out_negs,
+                      int32_t* out_neg_counts, int64_t* n_written) {
   std::mt19937_64 rng(seed);
-  int64_t total = 0;
-  for (int r = 0; r < n_rels; ++r) total += g.rel_nnz(r);
-  // keep ~cap edges: accept each with prob cap/total (clamped at the end)
-  const bool subsample = total > cap;
-  const double p_keep = subsample ? (double)cap / (double)total : 1.0;
-  const uint64_t keep_thresh =
-      (uint64_t)(p_keep * 18446744073709551615.0);
-
-  int64_t written = 0;
+  int64_t written = c_begin < c_end ? chunks[c_begin].out_off : 0;
   Set ans;
-  for (int r = 0; r < n_rels && written < cap; ++r) {
-    const int from_m = rel_from_mode[r];
-    const int to_m = rel_to_mode[r];
-    const int32_t lo = mode_lo[from_m], hi = mode_hi[from_m];
-    const int32_t tlo = mode_lo[to_m], thi = mode_hi[to_m];
+  for (size_t ci = c_begin; ci < c_end; ++ci) {
+    const EdgeChunk& c = chunks[ci];
+    const int to_m = g.rel_to_mode[c.r];
+    const int32_t tlo = g.mode_lo[to_m], thi = g.mode_hi[to_m];
     const int64_t n_tmode = thi - tlo;
-    for (int32_t s = lo; s < hi && written < cap; ++s) {
-      auto [p, n] = g.neighbors(r, s);
+    for (int32_t s = c.s_begin; s < c.s_end; ++s) {
+      auto [p, n] = g.neighbors(c.r, s);
       if (n == 0) continue;
       ans.clear();
       ans.insert(p, p + n);
-      for (int e = 0; e < n && written < cap; ++e) {
+      for (int e = 0; e < n; ++e) {
         if (subsample && rng() > keep_thresh) continue;
         int count = 0;
         int32_t* negp = out_negs + written * max_negs;
         if (n_tmode <= (int64_t)n + max_negs) {
-          for (int32_t c = tlo; c < thi && count < max_negs; ++c)
-            if (!ans.count(c)) negp[count++] = c;
+          for (int32_t c2 = tlo; c2 < thi && count < max_negs; ++c2)
+            if (!ans.count(c2)) negp[count++] = c2;
         } else {
           for (int64_t draws = 0; count < max_negs &&
                draws < 50LL * max_negs; ++draws) {
-            int32_t c = tlo + (int32_t)(rng() % n_tmode);
-            if (!ans.count(c)) negp[count++] = c;
+            int32_t c2 = tlo + (int32_t)(rng() % n_tmode);
+            if (!ans.count(c2)) negp[count++] = c2;
           }
         }
         if (count == 0) continue;
-        out_rels[written * 3] = r;
+        out_rels[written * 3] = c.r;
         out_rels[written * 3 + 1] = -1;
         out_rels[written * 3 + 2] = -1;
         out_anchors[written * 3] = s;
@@ -458,6 +511,158 @@ int gqe_all_edges_1p(
       }
     }
   }
+  *n_written = written - (c_begin < c_end ? chunks[c_begin].out_off : 0);
+}
+
+}  // namespace
+
+int gqe_all_edges_1p(
+    int n_modes, const int32_t* mode_lo, const int32_t* mode_hi,
+    int n_rels, const int32_t* rel_from_mode, const int32_t* rel_to_mode,
+    const int32_t* rel_rev, const int64_t* indptr_off,
+    const int64_t* indices_off, const int32_t* indptr_cat,
+    const int32_t* indices_cat,
+    int64_t cap, uint64_t seed, int max_negs, int n_threads,
+    int32_t* out_rels,        // [n_out_rows, 3]   (n_out_rows: see binding)
+    int32_t* out_anchors,     // [n_out_rows, 3]
+    int32_t* out_targets,     // [n_out_rows]
+    int32_t* out_negs,        // [n_out_rows, max_negs]
+    int32_t* out_neg_counts   // [n_out_rows]
+) {
+  Graph g;
+  g.n_modes = n_modes; g.mode_lo = mode_lo; g.mode_hi = mode_hi;
+  g.n_rels = n_rels; g.rel_from_mode = rel_from_mode;
+  g.rel_to_mode = rel_to_mode; g.rel_rev = rel_rev;
+  g.indptr_off = indptr_off; g.indices_off = indices_off;
+  g.indices_cat = indices_cat; g.indptr_cat = indptr_cat;
+
+  int64_t total = 0;
+  for (int r = 0; r < n_rels; ++r) total += g.rel_nnz(r);
+  const bool subsample = total > cap;
+  const double p_keep = subsample ? (double)cap / (double)total : 1.0;
+  const uint64_t keep_thresh =
+      (uint64_t)(p_keep * 18446744073709551615.0);
+
+  if (subsample) {
+    // Bernoulli-subsample path stays SEQUENTIAL: the caller's buffer holds
+    // only `cap` rows, but the threaded path's disjoint output slices are
+    // offset by FULL edge-count prefixes (up to `total` rows) — writing
+    // there would overrun the buffer, and proportional per-worker caps
+    // would bias which edges survive. Full-coverage builds (cap >= total,
+    // the paper-scale configuration) take the threaded path below.
+    std::mt19937_64 rng(seed);
+    int64_t written = 0;
+    Set ans;
+    for (int r = 0; r < n_rels && written < cap; ++r) {
+      const int from_m = rel_from_mode[r];
+      const int to_m = rel_to_mode[r];
+      const int32_t lo = mode_lo[from_m], hi = mode_hi[from_m];
+      const int32_t tlo = mode_lo[to_m], thi = mode_hi[to_m];
+      const int64_t n_tmode = thi - tlo;
+      for (int32_t s = lo; s < hi && written < cap; ++s) {
+        auto [p, n] = g.neighbors(r, s);
+        if (n == 0) continue;
+        ans.clear();
+        ans.insert(p, p + n);
+        for (int e = 0; e < n && written < cap; ++e) {
+          if (rng() > keep_thresh) continue;
+          int count = 0;
+          int32_t* negp = out_negs + written * max_negs;
+          if (n_tmode <= (int64_t)n + max_negs) {
+            for (int32_t c = tlo; c < thi && count < max_negs; ++c)
+              if (!ans.count(c)) negp[count++] = c;
+          } else {
+            for (int64_t draws = 0; count < max_negs &&
+                 draws < 50LL * max_negs; ++draws) {
+              int32_t c = tlo + (int32_t)(rng() % n_tmode);
+              if (!ans.count(c)) negp[count++] = c;
+            }
+          }
+          if (count == 0) continue;
+          out_rels[written * 3] = r;
+          out_rels[written * 3 + 1] = -1;
+          out_rels[written * 3 + 2] = -1;
+          out_anchors[written * 3] = s;
+          out_anchors[written * 3 + 1] = -1;
+          out_anchors[written * 3 + 2] = -1;
+          out_targets[written] = p[e];
+          out_neg_counts[written] = count;
+          ++written;
+        }
+      }
+    }
+    return (int)written;
+  }
+
+  if (n_threads < 1) n_threads = 1;
+  // Partition (r, source-range) into chunks of ~total/(8*n_threads) edges
+  // (over-decomposed so uneven negative-sampling cost balances out), each
+  // carrying its exact edge-count prefix as the output offset.
+  const int64_t target = std::max<int64_t>(1, total / (8 * n_threads));
+  std::vector<EdgeChunk> chunks;
+  int64_t prefix = 0;
+  for (int r = 0; r < n_rels; ++r) {
+    const int from_m = rel_from_mode[r];
+    const int32_t lo = mode_lo[from_m], hi = mode_hi[from_m];
+    const int32_t* ip = indptr_cat + indptr_off[r];
+    int32_t s = lo;
+    while (s < hi) {
+      EdgeChunk c{r, s, s, prefix};
+      int64_t cnt = 0;
+      while (c.s_end < hi && cnt < target) {
+        cnt += ip[c.s_end - lo + 1] - ip[c.s_end - lo];
+        ++c.s_end;
+      }
+      s = c.s_end;
+      prefix += cnt;
+      if (cnt > 0) chunks.push_back(c);
+    }
+  }
+
+  // assign contiguous chunk ranges to workers by edge count
+  std::vector<size_t> cuts{0};
+  {
+    int64_t per = (total + n_threads - 1) / n_threads, acc = 0;
+    for (size_t i = 0; i < chunks.size(); ++i) {
+      int64_t next = (i + 1 < chunks.size()) ? chunks[i + 1].out_off : total;
+      acc = next;
+      if (acc >= (int64_t)cuts.size() * per && cuts.size() < (size_t)n_threads)
+        cuts.push_back(i + 1);
+    }
+    while (cuts.size() < (size_t)n_threads + 1) cuts.push_back(chunks.size());
+  }
+
+  std::vector<int64_t> counts(n_threads, 0);
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; ++t)
+    threads.emplace_back(
+        all_edges_worker, std::cref(g), std::cref(chunks), cuts[t],
+        cuts[t + 1], seed + 0x9E3779B97F4A7C15ULL * (uint64_t)(t + 1),
+        keep_thresh, subsample, max_negs, out_rels, out_anchors, out_targets,
+        out_negs, out_neg_counts, &counts[t]);
+  for (auto& th : threads) th.join();
+
+  // compact worker slices left; truncate to cap
+  int64_t written = counts[0];
+  for (int t = 1; t < n_threads; ++t) {
+    const int64_t src = chunks[cuts[t]].out_off;  // cuts[t] < size if counts>0
+    const int64_t cnt = counts[t];
+    if (cnt == 0) continue;
+    if (src != written) {
+      std::memmove(out_rels + written * 3, out_rels + src * 3,
+                   sizeof(int32_t) * 3 * cnt);
+      std::memmove(out_anchors + written * 3, out_anchors + src * 3,
+                   sizeof(int32_t) * 3 * cnt);
+      std::memmove(out_targets + written, out_targets + src,
+                   sizeof(int32_t) * cnt);
+      std::memmove(out_negs + written * max_negs, out_negs + src * max_negs,
+                   sizeof(int32_t) * (int64_t)max_negs * cnt);
+      std::memmove(out_neg_counts + written, out_neg_counts + src,
+                   sizeof(int32_t) * cnt);
+    }
+    written += cnt;
+  }
+  if (written > cap) written = cap;
   return (int)written;
 }
 

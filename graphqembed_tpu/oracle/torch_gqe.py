@@ -61,12 +61,84 @@ def intersect(kind: str, learned: bool, params: Params,
     return agg
 
 
+def sage_encode(cfg, params: Params, tables, ids, depth: int | None = None,
+                aggregator: str | None = None) -> torch.Tensor:
+    """Depth-k GraphSAGE-style encoder — the reference's Encoder +
+    aggregators [R: netquery/encoders.py::Encoder, netquery/aggregators.py
+    (conf=M)] over the SAME precomputed NeighborTables the JAX encoder uses
+    (models/encoders.py::sage_encode), so activations are directly
+    comparable:
+
+      h^k(v) = l2norm(relu(W_self^mode h^{k-1}(v)
+                           + Σ_rel W_rel Φ(h^{k-1}(N_rel(v)))))
+
+    Φ = masked mean, or pool (max over a per-relation ReLU MLP). Eager
+    fp64; differentiable through table and encoder weights."""
+    depth = cfg.depth if depth is None else depth
+    aggregator = cfg.aggregator if aggregator is None else aggregator
+    table = _t(params["table"]).to(torch.float64)
+    enc = {k: _t(v).to(torch.float64) for k, v in params["encoder"].items()}
+    neighbors = _t(np.asarray(tables.neighbors)).long()
+    node_mode = _t(np.asarray(tables.node_mode)).long()
+    node_local = _t(np.asarray(tables.node_local)).long()
+    mode_rel = _t(np.asarray(tables.mode_rel_ids)).long()
+
+    def embed(ids: torch.Tensor, k: int) -> torch.Tensor:
+        base = normalize(table[ids])
+        if k == 0:
+            return base
+        mode = node_mode[ids]
+        local = node_local[ids]
+        rels = mode_rel[mode]                       # [B, J] (−1 pad)
+        acc = torch.einsum("bd,bde->be", base, enc["W_self"][mode])
+        for j in range(rels.shape[1]):
+            rel_j = rels[:, j]
+            valid = rel_j >= 0
+            rel_safe = rel_j.clamp_min(0)
+            nb = neighbors[rel_safe, local]         # [B, S], −1 pad
+            nb_mask = (nb >= 0) & valid[:, None]
+            nb_emb = embed(nb.clamp_min(0).reshape(-1), k - 1).reshape(
+                *nb.shape, -1)                      # [B, S, d]
+            m = nb_mask.unsqueeze(-1).to(nb_emb.dtype)
+            if aggregator == "mean":
+                agg = (nb_emb * m).sum(dim=1) / m.sum(dim=1).clamp_min(1.0)
+            elif aggregator == "pool":
+                h = torch.relu(torch.einsum("bsd,bde->bse", nb_emb,
+                                            enc["W_pool"][rel_safe]))
+                h = h.masked_fill(~nb_mask.unsqueeze(-1), float("-inf"))
+                agg = h.max(dim=1).values
+                agg = torch.where(torch.isfinite(agg), agg,
+                                  torch.zeros((), dtype=agg.dtype))
+            else:
+                raise ValueError(aggregator)
+            rel_t = torch.einsum("bd,bde->be", agg, enc["W_rel"][rel_safe])
+            acc = acc + torch.where(valid.unsqueeze(-1), rel_t,
+                                    torch.zeros((), dtype=rel_t.dtype))
+        return normalize(torch.relu(acc))
+
+    return embed(_t(ids).long(), depth)
+
+
+def make_deep_encoder(cfg, params: Params, tables):
+    """encode_fn closure for embed_query/forward_scores (mirror of
+    models/encoders.py::make_deep_encoder). Handles [B] or [B, K] ids."""
+
+    def encode_fn(ids):
+        ids = _t(ids).long()
+        flat = ids.reshape(-1)
+        out = sage_encode(cfg, params, tables, flat)
+        return out.reshape(*ids.shape, -1)
+
+    return encode_fn
+
+
 def embed_query(cfg, params: Params, structure: str, anchors, rels,
-                inter_mode_id: int) -> torch.Tensor:
+                inter_mode_id: int, encode_fn=None) -> torch.Tensor:
     """anchors int[B, A]; rels int[R]; returns float64 [B, d]."""
     anchors = _t(anchors).long()
     rels = [int(r) for r in np.asarray(rels)]
-    e = lambda i: encode(params, anchors[:, i])
+    enc = encode_fn or (lambda ids: encode(params, ids))
+    e = lambda i: enc(anchors[:, i])
     P = lambda x, r: project(cfg.projection, params, x, r)
     I = lambda zs: intersect(cfg.intersection, cfg.learned_intersection,
                              params, zs, inter_mode_id)
@@ -88,9 +160,11 @@ def embed_query(cfg, params: Params, structure: str, anchors, rels,
 
 
 def forward_scores(cfg, params: Params, structure: str, anchors, rels,
-                   inter_mode_id: int, candidates) -> torch.Tensor:
-    q = embed_query(cfg, params, structure, anchors, rels, inter_mode_id)
-    c = encode(params, candidates)
+                   inter_mode_id: int, candidates,
+                   encode_fn=None) -> torch.Tensor:
+    q = embed_query(cfg, params, structure, anchors, rels, inter_mode_id,
+                    encode_fn)
+    c = (encode_fn or (lambda ids: encode(params, ids)))(candidates)
     kind = getattr(cfg, "scoring", "cosine")
     if kind == "cosine":
         q = normalize(q)
@@ -105,9 +179,12 @@ def forward_scores(cfg, params: Params, structure: str, anchors, rels,
 
 
 def margin_loss(cfg, params: Params, structure: str, anchors, rels,
-                inter_mode_id: int, targets, negs, row_mask) -> torch.Tensor:
-    pos = forward_scores(cfg, params, structure, anchors, rels, inter_mode_id, targets)
-    neg = forward_scores(cfg, params, structure, anchors, rels, inter_mode_id, negs)
+                inter_mode_id: int, targets, negs, row_mask,
+                encode_fn=None) -> torch.Tensor:
+    pos = forward_scores(cfg, params, structure, anchors, rels, inter_mode_id,
+                         targets, encode_fn)
+    neg = forward_scores(cfg, params, structure, anchors, rels, inter_mode_id,
+                         negs, encode_fn)
     per_row = torch.relu(cfg.margin - pos + neg)
     w = _t(row_mask).to(per_row.dtype)
     return (per_row * w).sum() / w.sum().clamp_min(1.0)

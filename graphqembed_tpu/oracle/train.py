@@ -32,16 +32,18 @@ def _to_torch(params_np: dict, dtype=torch.float64) -> dict:
         return t
     out = {"table": conv(params_np["table"])}
     out["proj"] = {k: conv(v) for k, v in params_np["proj"].items()}
-    if "inter" in params_np:
-        out["inter"] = {k: conv(v) for k, v in params_np["inter"].items()}
+    for sub in ("inter", "encoder"):
+        if sub in params_np:
+            out[sub] = {k: conv(v) for k, v in params_np[sub].items()}
     return out
 
 
 def _leaves(params: dict) -> list[torch.Tensor]:
     out = [params["table"]]
     out += [params["proj"][k] for k in sorted(params["proj"])]
-    if "inter" in params:
-        out += [params["inter"][k] for k in sorted(params["inter"])]
+    for sub in ("inter", "encoder"):
+        if sub in params:
+            out += [params[sub][k] for k in sorted(params[sub])]
     return out
 
 
@@ -50,19 +52,25 @@ def _detach_numpy(params: dict) -> dict:
         return x.detach().cpu().numpy().copy()
     out = {"table": d(params["table"])}
     out["proj"] = {k: d(v) for k, v in params["proj"].items()}
-    if "inter" in params:
-        out["inter"] = {k: d(v) for k, v in params["inter"].items()}
+    for sub in ("inter", "encoder"):
+        if sub in params:
+            out[sub] = {k: d(v) for k, v in params[sub].items()}
     return out
 
 
 def eval_auc_oracle(cfg, params: dict, schema, queries, seed: int = 0,
-                    hard: bool = False) -> dict[str, float]:
+                    hard: bool = False, tables=None) -> dict[str, float]:
     """Mirror of training/eval.py::_eval_auc_fast scored by the torch oracle:
     same structure/formula ordering, same rng consumption for the 1-sampled
-    negative, same per-formula query-count-weighted macro."""
+    negative, same per-formula query-count-weighted macro. tables: depth>0
+    NeighborTables (scores through the oracle SAGE encoder)."""
     from graphqembed_tpu.data.queries import group_by_formula
     from graphqembed_tpu.training.eval import _np_auc, _structure_soa
 
+    encode_fn = None
+    if tables is not None and cfg.depth > 0:
+        from graphqembed_tpu.oracle.torch_gqe import make_deep_encoder
+        encode_fn = make_deep_encoder(cfg, params, tables)
     rng = np.random.default_rng(seed)
     by_struct: dict[str, dict] = {}
     for f, qs in group_by_formula(queries).items():
@@ -81,11 +89,11 @@ def eval_auc_oracle(cfg, params: dict, schema, queries, seed: int = 0,
                 pos = forward_scores(cfg, params, structure,
                                      soa["anchors"][sel], soa["rels"][sel][0],
                                      int(soa["modes"][sel][0]),
-                                     soa["targets"][sel]).numpy()
+                                     soa["targets"][sel], encode_fn).numpy()
                 neg = forward_scores(cfg, params, structure,
                                      soa["anchors"][sel], soa["rels"][sel][0],
                                      int(soa["modes"][sel][0]),
-                                     soa["negs"][sel][:, 0]).numpy()
+                                     soa["negs"][sel][:, 0], encode_fn).numpy()
                 num += _np_auc(pos, neg) * int(sel.sum())
                 den += int(sel.sum())
             out[structure] = num / den
@@ -148,12 +156,15 @@ class OracleTrainResult:
 
 def run_train_oracle(cfg, schema, params_np: dict, train_queries,
                      val_queries=None, dtype=torch.float64,
-                     log=None, make_optimizer=None) -> OracleTrainResult:
+                     log=None, make_optimizer=None,
+                     tables=None) -> OracleTrainResult:
     """run_train's exact protocol in eager torch: same TrainData sampler (so
     the batch/negative sequence is identical to the JAX run at the same cfg
     and seed), dense torch Adam, burn-in convergence, weighted multitask,
     best-val params. Stop via cfg.max_iter / cfg.max_burn_in / cfg.tol.
-    make_optimizer(leaves) -> torch optimizer overrides Adam (parity tests)."""
+    make_optimizer(leaves) -> torch optimizer overrides Adam (parity tests).
+    tables: depth>0 NeighborTables — trains through the oracle SAGE
+    encoder (torch_gqe.sage_encode)."""
     from graphqembed_tpu.training.loop import (
         TrainData,
         check_conv,
@@ -161,6 +172,10 @@ def run_train_oracle(cfg, schema, params_np: dict, train_queries,
     )
 
     params = _to_torch(params_np, dtype)
+    encode_fn = None
+    if tables is not None and cfg.depth > 0:
+        from graphqembed_tpu.oracle.torch_gqe import make_deep_encoder
+        encode_fn = make_deep_encoder(cfg, params, tables)
     opt = (make_optimizer(_leaves(params)) if make_optimizer is not None
            else torch.optim.Adam(_leaves(params), lr=cfg.lr))
     data = TrainData(schema, train_queries, cfg.batch_size, seed=cfg.seed)
@@ -184,7 +199,7 @@ def run_train_oracle(cfg, schema, params_np: dict, train_queries,
             structure, hard=hard)
         loss = structure_weight(cfg, structure) * margin_loss(
             cfg, params, structure, anchors, rels, int(im), targets, negs,
-            row_mask)
+            row_mask, encode_fn)
         opt.zero_grad()
         loss.backward()
         opt.step()
@@ -203,7 +218,7 @@ def run_train_oracle(cfg, schema, params_np: dict, train_queries,
 
         if val_queries and step_i % cfg.val_every == 0:
             aucs = eval_auc_oracle(cfg, params, schema, val_queries,
-                                   seed=cfg.seed)
+                                   seed=cfg.seed, tables=tables)
             macro = aucs.get("macro", 0.0)
             val_history.append((step_i, macro))
             if macro > best_val:

@@ -257,6 +257,13 @@ def make_scan_train_step(cfg: GQEConfig, optimizer, neighbor_tables=None):
                     )
                     encode_fn = make_deep_encoder(cfg, p, tables, cfg.depth,
                                                   cfg.aggregator)
+                if encode_fn is None:
+                    # one fused gather -> one dense scatter in backward
+                    # (gqe.margin_loss_rows_onegather docstring)
+                    return weight * gqe.margin_loss_rows_onegather(
+                        cfg, p, structure, anchors[idx], rels[idx],
+                        inter_modes[idx], targets[idx], neg,
+                        jnp.ones(b, jnp.bool_))
                 return weight * gqe.margin_loss_rows(
                     cfg, p, structure, anchors[idx], rels[idx],
                     inter_modes[idx], targets[idx], neg,
@@ -317,7 +324,7 @@ def make_scan_train_step_fused(cfg: GQEConfig):
             neg = jnp.take_along_axis(pool, (j % cnt)[:, None], axis=1)[:, 0]
 
             def loss_fn(p):
-                return weight * gqe.margin_loss_rows(
+                return weight * gqe.margin_loss_rows_onegather(
                     cfg, p, structure, anchors[idx], rels[idx],
                     inter_modes[idx], targets[idx], neg,
                     jnp.ones(b, jnp.bool_))
@@ -475,6 +482,13 @@ def make_multitask_mega_step(cfg: GQEConfig, optimizer,
                     )
                     encode_fn = make_deep_encoder(cfg, p, tables, cfg.depth,
                                                   cfg.aggregator)
+                if encode_fn is None:
+                    # one fused gather -> one dense scatter in backward
+                    # (gqe.margin_loss_rows_onegather docstring)
+                    return weight * gqe.margin_loss_rows_onegather(
+                        cfg, p, structure, anchors[idx], rels[idx],
+                        inter_modes[idx], targets[idx], neg,
+                        jnp.ones(b, jnp.bool_))
                 return weight * gqe.margin_loss_rows(
                     cfg, p, structure, anchors[idx], rels[idx],
                     inter_modes[idx], targets[idx], neg,
@@ -534,7 +548,7 @@ def run_train_device_mega(cfg: GQEConfig, schema: Schema, params: dict,
                           steps_per: int = 100, key=None, optimizer=None,
                           log=None, neighbor_tables=None,
                           ckpt_manager=None, ckpt_every: int = 0,
-                          resume: bool = False):
+                          resume: bool = False, deferred_pools=None):
     """High-level device-resident training: burn-in then multitask rounds,
     each burn-in / inter-eval segment as ONE mega-dispatch
     (make_multitask_mega_step) — the dispatch-economical production driver
@@ -553,6 +567,14 @@ def run_train_device_mega(cfg: GQEConfig, schema: Schema, params: dict,
       resume restores and continues bit-identically — batch selection is
       counter-based (fold_in(key, dispatch_i)), so no host RNG state exists;
     - depth>0: neighbor_tables threads the SAGE encoder into the scan.
+
+    deferred_pools: optional callable () -> dict[str, DevicePool], invoked
+    AFTER burn-in and merged into `data` before the multitask phase. Burn-in
+    trains on 1p only, so the expensive non-1p pool sampling (C++, host) can
+    OVERLAP with burn-in running on the device — pass a callable that joins
+    a ThreadPoolExecutor started before this function (the C sampler
+    releases the GIL). At paper scale this hides most of the pool build
+    behind ~150k burn-in steps.
     """
     import time
 
@@ -568,9 +590,8 @@ def run_train_device_mega(cfg: GQEConfig, schema: Schema, params: dict,
     mega_burn = (make_multitask_mega_step(cfg, optimizer, data, ["1p"],
                                           neighbor_tables)
                  if "1p" in data.pools else None)
-    mega_all = make_multitask_mega_step(cfg, optimizer, data,
-                                        neighbor_tables=neighbor_tables)
-    n_struct = len(data.structures)
+    # mega_all is built AFTER burn-in (below): with deferred_pools, the
+    # non-1p pools may still be sampling on host threads while burn-in runs
     losses: dict[str, list[float]] = {s: [] for s in data.structures}
     burn_series: list[float] = []   # per-round 1p mean losses
     multi_series: list[float] = []  # per-round mean multitask losses
@@ -643,7 +664,17 @@ def run_train_device_mega(cfg: GQEConfig, schema: Schema, params: dict,
             if check_conv(burn_series, burn_window, cfg.tol):
                 break
 
+    # --- merge deferred pools (overlapped with burn-in on the device) ---
+    if deferred_pools is not None:
+        for s, pool in deferred_pools().items():
+            data.pools[s] = pool
+            data.weights[s] = int(pool.n)
+            losses.setdefault(s, [])
+
     # --- multitask rounds with eval / ckpt / convergence ---
+    mega_all = make_multitask_mega_step(cfg, optimizer, data,
+                                        neighbor_tables=neighbor_tables)
+    n_struct = len(data.structures)
     eval_every = max(1, min(cfg.val_every, total_steps - done)
                      ) if total_steps > done else 1
     multi_window = max(1, round(cfg.conv_window / (n_struct * steps_per)))

@@ -3,6 +3,7 @@ path bitwise on a single-formula batch; the scan mega-step trains (loss
 decreases, params finite) and respects hard-negative alternation plumbing."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import optax
 import pytest
@@ -228,3 +229,68 @@ def test_run_train_device_mega_depth1(graph):
     assert series[-1] < 0.8 * series[0], series
     for leaf in jax.tree.leaves(res.params):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_run_train_device_mega_deferred_pools(graph):
+    """deferred_pools: burn-in trains on 1p only; the callable is invoked
+    AFTER burn-in and its pools join the multitask phase (the overlap hook
+    for host pool-building during device burn-in). The callable must not
+    fire before burn-in completes."""
+    from graphqembed_tpu.training.device_data import (
+        DevicePool,
+        run_train_device_mega,
+    )
+
+    cfg = GQEConfig(embed_dim=16, projection="transe", batch_size=32,
+                    lr=0.05, seed=0, val_every=10**9, tol=0.0,
+                    conv_window=10**6)
+    s = QuerySampler(graph, np.random.default_rng(7), max_negs=10)
+    data = DeviceTrainData(graph.schema, s.sample_many("1p", 200))
+    fired = {"n": 0}
+
+    def deferred():
+        fired["n"] += 1
+        return {"2i": DevicePool(graph.schema, "2i",
+                                 s.sample_many("2i", 150))}
+
+    params = init_params(cfg, graph.schema, jax.random.key(4))
+    res = run_train_device_mega(cfg, graph.schema, params, data,
+                                total_steps=400, burn_in_steps=200,
+                                steps_per=20, deferred_pools=deferred)
+    assert fired["n"] == 1
+    assert res.burn_in_steps == 200
+    assert res.steps >= 400
+    assert len(res.losses["2i"]) > 0          # multitask trained the merged pool
+    assert len(res.losses["1p"]) > len(res.losses["2i"])  # 1p also in burn-in
+    for leaf in jax.tree.leaves(res.params):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+@pytest.mark.parametrize("structure", ["1p", "3p", "3i", "ip", "pi"])
+def test_onegather_loss_matches_margin_loss_rows(graph, structure):
+    """margin_loss_rows_onegather (single fused table gather; one dense
+    scatter in backward) must match margin_loss_rows in VALUE and GRADIENTS —
+    same math, different autodiff shape."""
+    from graphqembed_tpu.models import gqe
+
+    cfg = GQEConfig(embed_dim=16, projection="bilinear", batch_size=24,
+                    seed=0)
+    s = QuerySampler(graph, np.random.default_rng(3), max_negs=10)
+    pool = DeviceTrainData(graph.schema, s.sample_many(structure, 60)
+                           ).pools[structure]
+    params = init_params(cfg, graph.schema, jax.random.key(2))
+    idx = jnp.arange(24)
+    neg = pool.negs[idx][:, 0]
+    mask = jnp.ones(24, bool)
+    args = (pool.anchors[idx], pool.rels[idx], pool.inter_modes[idx],
+            pool.targets[idx], neg, mask)
+
+    l1, g1 = jax.value_and_grad(
+        lambda p: gqe.margin_loss_rows(cfg, p, structure, *args))(params)
+    l2, g2 = jax.value_and_grad(
+        lambda p: gqe.margin_loss_rows_onegather(cfg, p, structure, *args)
+    )(params)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6), g1, g2)

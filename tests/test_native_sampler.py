@@ -114,3 +114,58 @@ def test_parallel_sample_native_engine(graph):
     assert len(keys) == len(qs)
     for q in qs[:5]:
         assert q.target in answers(graph, q.formula, q.anchors)
+
+
+def test_all_edges_1p_full_coverage_and_threads(graph):
+    """native_all_edges_1p: every directed edge appears exactly once as a 1p
+    query; negatives are exact non-answers; the THREADED build (disjoint
+    output slices + compaction) yields the same edge set as sequential."""
+    from graphqembed_tpu.native import native_all_edges_1p
+
+    ref = None
+    for nt in (1, 2, 3):
+        arr = native_all_edges_1p(graph, seed=5, max_negs=8, n_threads=nt)
+        assert arr is not None
+        n_edges = graph.num_edges()
+        assert len(arr["targets"]) == n_edges
+        rows = np.stack([arr["anchors"][:, 0], arr["rels"][:, 0],
+                         arr["targets"]], axis=1)
+        key = rows[np.lexsort(rows.T[::-1])]
+        assert len(np.unique(key, axis=0)) == n_edges  # each edge exactly once
+        if ref is None:
+            ref = key
+        else:
+            np.testing.assert_array_equal(key, ref)  # same edges any n_threads
+        # spot-check invariants on a sample of rows
+        schema = graph.schema
+        idx = np.random.default_rng(0).choice(n_edges, size=50, replace=False)
+        for i in idx:
+            a = int(arr["anchors"][i, 0])
+            r = int(arr["rels"][i, 0])
+            t = int(arr["targets"][i])
+            nbrs = set(graph.neighbors(a, schema.relations[r]))
+            assert t in nbrs
+            c = int(arr["neg_counts"][i])
+            assert c > 0
+            lo, hi = schema.mode_range(schema.relations[r][2])
+            for neg in arr["negs"][i, :c]:
+                assert lo <= neg < hi
+                assert int(neg) not in nbrs
+
+
+def test_all_edges_1p_subsample(graph):
+    """cap < n_edges takes the sequential Bernoulli path: ~cap rows, all
+    valid edges."""
+    from graphqembed_tpu.native import native_all_edges_1p
+
+    n_edges = graph.num_edges()
+    cap = n_edges // 3
+    arr = native_all_edges_1p(graph, cap=cap, seed=5, max_negs=8, n_threads=4)
+    got = len(arr["targets"])
+    assert 0.5 * cap <= got <= cap, (got, cap)
+    schema = graph.schema
+    for i in range(0, got, max(1, got // 40)):
+        a = int(arr["anchors"][i, 0])
+        r = int(arr["rels"][i, 0])
+        t = int(arr["targets"][i])
+        assert t in set(graph.neighbors(a, schema.relations[r]))
