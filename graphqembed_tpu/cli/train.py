@@ -58,14 +58,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_dir", type=str, default=None)
     p.add_argument("--cpu", action="store_true", help="force JAX_PLATFORMS=cpu")
     p.add_argument("--pipeline", type=str, default="host",
-                   choices=["host", "device", "stream"],
+                   choices=["host", "device", "stream", "onthefly"],
                    help="host: reference-schedule loop (per-formula "
                         "batches). device: device-resident mega-dispatch "
                         "pipeline — the fast production path (~9x on a "
                         "tunneled chip); both support convergence stopping, "
                         "checkpoints/--resume, and --depth > 0. stream: "
                         "beyond-RAM grain loader over the saved npz shards "
-                        "in --data_dir (host schedule, per-row batches)")
+                        "in --data_dir (host schedule, per-row batches). "
+                        "onthefly: pool-free — every batch is SAMPLED ON "
+                        "DEVICE inside the compiled scan (all 7 structures; "
+                        "type-range negatives); train queries are never "
+                        "materialized")
     p.add_argument("--ckpt_every", type=int, default=0,
                    help="save full train state every N steps (0 = off)")
     p.add_argument("--resume", action="store_true",
@@ -171,6 +175,23 @@ def main(argv=None):
             ckpt_every=args.ckpt_every, resume=args.resume,
             log=lambda step, s, l: logging.info(
                 "step %d [%s] loss %.4f", step, s, l))
+    elif args.pipeline == "onthefly":
+        if cfg.depth > 0:
+            raise SystemExit("--pipeline onthefly does not support --depth>0;"
+                             " use --pipeline host or device")
+        from graphqembed_tpu.training.device_sampler import (
+            DeviceGraph,
+            run_train_onthefly,
+        )
+        dg = DeviceGraph.build(graph, sample_size=args.neighbor_samples,
+                               seed=cfg.seed)
+        steps_per = max(1, min(100, args.max_iter // 20))
+        res = run_train_onthefly(
+            cfg, graph.schema, params, dg, val_queries=val,
+            steps_per=steps_per,
+            log=lambda step, s, l: (
+                logging.info("step %d [%s] loss %.4f", step, s, l),
+                writer.write(step, **{f"loss/{s}": l}))[0])
     elif args.pipeline == "device":
         from graphqembed_tpu.training.device_data import (
             DeviceTrainData,

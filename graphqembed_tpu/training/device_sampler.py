@@ -4,14 +4,16 @@ edge-partitioned adjacency", with "on-device negative resampling
 (counter-based PRNG + type-range rejection)").
 
 The exact offline sampler (data/sampling.py, native/) remains the source of
-train/eval query sets with exact negatives; this module generates EDGE (1p),
-PATH (2p/3p) and INTERSECTION (2i/3i) training batches entirely on device
-from the padded per-relation neighbor tables — no host in the loop,
-unlimited fresh samples. Negatives are type-range approximations (uniform
-same-mode, rejected only against the sampled positive), the standard
-large-scale approximation; exact-negative training stays available via the
-pools. make_onthefly_train_step composes this into a pool-free scan
-mega-step (sampling + training fused in one compiled program).
+train/eval query sets with exact negatives; this module generates training
+batches for ALL 7 STRUCTURES (1p/2p/3p chains, 2i/3i intersections, ip/pi
+mixed) entirely on device from the padded per-relation neighbor tables — no
+host in the loop, unlimited fresh samples. Negatives are type-range
+approximations (uniform same-mode, rejected only against the sampled
+positive), the standard large-scale approximation; exact-negative training
+stays available via the pools. make_onthefly_train_step composes this into
+a pool-free scan mega-step (sampling + training fused in one compiled
+program); run_train_onthefly is the full-protocol driver behind
+`gqe-train --pipeline onthefly`.
 
 Device graph encoding (from models/encoders.py::NeighborTables):
   neighbors int32 [R, max_from, S] (−1 pad), rel_from_lo/rel_to_lo/rel_to_hi
@@ -145,6 +147,29 @@ def sample_path_batch(dg: DeviceGraph, key: jax.Array, b: int,
     return (src[:, None], jnp.stack(rels, axis=1), target, neg, ok)
 
 
+def _in_branch(dg: DeviceGraph, key: jax.Array, node: jnp.ndarray,
+               prev: list, b: int, tries: int = 8):
+    """Sample one in-edge branch of `node`: a (rel, anchor) with
+    anchor —rel→ node, via the REVERSE neighbor table. `prev` is a list of
+    (rel, anchor) pairs to reject as duplicates. Returns (rel, anchor, ok)."""
+    k1, k2 = jax.random.split(key)
+    rel_c = dg.live_rels[
+        jax.random.randint(k1, (b, tries), 0, dg.live_rels.shape[0])]
+    in_range = ((node[:, None] >= dg.to_lo[rel_c])
+                & (node[:, None] < dg.to_hi[rel_c]))
+    rev = dg.rel_rev[rel_c]                              # [b, T]
+    local = node[:, None] - dg.to_lo[rel_c]              # local in rev's from-range
+    slot = jax.random.randint(k2, (b, tries), 0, dg.neighbors.shape[2])
+    anchor = dg.neighbors[rev, jnp.maximum(local, 0), slot]
+    valid = in_range & (anchor >= 0)
+    for rj, aj in prev:
+        valid &= ~((rel_c == rj[:, None]) & (anchor == aj[:, None]))
+    first = jnp.argmax(valid, axis=1)
+    take = lambda x: jnp.take_along_axis(x, first[:, None], axis=1)[:, 0]
+    ok = jnp.take_along_axis(valid, first[:, None], axis=1)[:, 0]
+    return take(rel_c), take(anchor), ok
+
+
 def sample_inter_batch(dg: DeviceGraph, key: jax.Array, b: int,
                        k_branches: int = 2):
     """On-device 2i/3i batch: anchors [b, k], rels [b, k], inter_modes [b],
@@ -156,46 +181,82 @@ def sample_inter_batch(dg: DeviceGraph, key: jax.Array, b: int,
     rel0, a0, tgt, ok = _pick_edges(dg, k_edge, b)
     rels = [rel0]
     anchors = [a0]
-    tries = 8
     for i in range(1, k_branches):
-        ki = jax.random.fold_in(k_br, i)
-        k1, k2 = jax.random.split(ki)
-        # candidate relation must ARRIVE at tgt's mode: its to-range contains
-        # tgt; then anchor = a sample from the reverse table's row of tgt
-        rel_c = dg.live_rels[
-            jax.random.randint(k1, (b, tries), 0, dg.live_rels.shape[0])]
-        in_range = ((tgt[:, None] >= dg.to_lo[rel_c])
-                    & (tgt[:, None] < dg.to_hi[rel_c]))
-        rev = dg.rel_rev[rel_c]                              # [b, T]
-        local = tgt[:, None] - dg.to_lo[rel_c]               # tgt local in rev's from-range
-        slot = jax.random.randint(k2, (b, tries), 0, dg.neighbors.shape[2])
-        anchor = dg.neighbors[rev, jnp.maximum(local, 0), slot]
-        valid = in_range & (anchor >= 0)
-        # reject duplicates of earlier branches
-        for rj, aj in zip(rels, anchors):
-            valid &= ~((rel_c == rj[:, None]) & (anchor == aj[:, None]))
-        first = jnp.argmax(valid, axis=1)
-        take = lambda x: jnp.take_along_axis(x, first[:, None], axis=1)[:, 0]
-        ok = ok & jnp.take_along_axis(valid, first[:, None], axis=1)[:, 0]
-        rels.append(take(rel_c))
-        anchors.append(take(anchor))
+        r, a, ok_i = _in_branch(dg, jax.random.fold_in(k_br, i), tgt,
+                                list(zip(rels, anchors)), b)
+        ok = ok & ok_i
+        rels.append(r)
+        anchors.append(a)
     inter_modes = dg.to_mode_id[rels[0]]
     neg = _neg_resample(dg, k_neg, rels[0], tgt)
     return (jnp.stack(anchors, axis=1), jnp.stack(rels, axis=1),
             inter_modes, tgt, neg, ok)
 
 
+def sample_ip_batch(dg: DeviceGraph, key: jax.Array, b: int):
+    """On-device ip batch — (a1 —r1→ v) ∧ (a2 —r2→ v), then v —r3→ t
+    [mirrors native/sampler.cpp case 5]: pick the final edge (r3, v, t),
+    then two distinct in-branches at the JOIN node v. anchors [b, 2],
+    rels [b, 3] = (r1, r2, r3), inter_modes [b] = v's mode."""
+    k_edge, k_b1, k_b2, k_neg = jax.random.split(key, 4)
+    r3, v, tgt, ok = _pick_edges(dg, k_edge, b)
+    r1, a1, ok1 = _in_branch(dg, k_b1, v, [], b)
+    r2, a2, ok2 = _in_branch(dg, k_b2, v, [(r1, a1)], b)
+    ok = ok & ok1 & ok2
+    anchors = jnp.stack([a1, a2], axis=1)
+    rels = jnp.stack([r1, r2, r3], axis=1)
+    inter_modes = dg.to_mode_id[r1]      # join node v's mode
+    neg = _neg_resample(dg, k_neg, r3, tgt)
+    return anchors, rels, inter_modes, tgt, neg, ok
+
+
+def sample_pi_batch(dg: DeviceGraph, key: jax.Array, b: int):
+    """On-device pi batch — (a1 —r1→ v —r2→ t) ∧ (a2 —r3→ t)
+    [mirrors native/sampler.cpp case 6]: pick the chain's last edge
+    (r2, v, t), extend backwards to a1 via an in-branch at v, add the edge
+    branch (r3, a2) at t, rejecting the degenerate duplicate of the chain's
+    own last edge. anchors [b, 2], rels [b, 3] = (r1, r2, r3),
+    inter_modes [b] = t's mode."""
+    k_edge, k_b1, k_b2, k_neg = jax.random.split(key, 4)
+    r2, v, tgt, ok = _pick_edges(dg, k_edge, b)
+    r1, a1, ok1 = _in_branch(dg, k_b1, v, [], b)
+    r3, a2, ok2 = _in_branch(dg, k_b2, tgt, [(r2, v)], b)
+    ok = ok & ok1 & ok2
+    anchors = jnp.stack([a1, a2], axis=1)
+    rels = jnp.stack([r1, r2, r3], axis=1)
+    inter_modes = dg.to_mode_id[r3]      # intersection at the target mode
+    neg = _neg_resample(dg, k_neg, r3, tgt)
+    return anchors, rels, inter_modes, tgt, neg, ok
+
+
+def sample_structure_batch(dg: DeviceGraph, key: jax.Array, b: int,
+                           structure: str):
+    """Dispatch table over all 7 structures -> (anchors, rels, inter_modes,
+    targets, negs, row_mask). `structure` is static."""
+    if structure in ("1p", "2p", "3p"):
+        anchors, rels, tgt, neg, mask = sample_path_batch(
+            dg, key, b, n_hops=int(structure[0]))
+        modes = jnp.full((b,), -1, jnp.int32)
+        return anchors, rels, modes, tgt, neg, mask
+    if structure in ("2i", "3i"):
+        return sample_inter_batch(dg, key, b, k_branches=int(structure[0]))
+    if structure == "ip":
+        return sample_ip_batch(dg, key, b)
+    if structure == "pi":
+        return sample_pi_batch(dg, key, b)
+    raise ValueError(structure)
+
+
 def make_onthefly_train_step(cfg, optimizer, dg: DeviceGraph):
     """Pool-free scan mega-step: each scan iteration SAMPLES its batch on
-    device (sample_path_batch / sample_inter_batch) and takes one train step
-    on it — sampling and training fused in one compiled program, zero host
-    involvement and zero HBM pool. Supports structures 1p/2p/3p/2i/3i.
+    device (sample_structure_batch) and takes one train step on it —
+    sampling and training fused in one compiled program, zero host
+    involvement and zero HBM pool. Supports all 7 structures.
 
     Returns run(params, opt_state, structure, key, n_steps, weight)
     -> (params, opt_state, mean_loss)."""
-    import optax
-
     from graphqembed_tpu.models import gqe
+    from graphqembed_tpu.training.device_data import _apply_optimizer
 
     b = cfg.batch_size
 
@@ -208,23 +269,16 @@ def make_onthefly_train_step(cfg, optimizer, dg: DeviceGraph):
         def body(carry, t):
             params, opt_state = carry
             k = jax.random.fold_in(key, t)
-            if structure in ("1p", "2p", "3p"):
-                anchors, rels, tgt, neg, mask = sample_path_batch(
-                    dg, k, b, n_hops=int(structure[0]))
-                modes = jnp.full((b,), -1, jnp.int32)
-            elif structure in ("2i", "3i"):
-                anchors, rels, modes, tgt, neg, mask = sample_inter_batch(
-                    dg, k, b, k_branches=int(structure[0]))
-            else:
-                raise ValueError(structure)
+            anchors, rels, modes, tgt, neg, mask = sample_structure_batch(
+                dg, k, b, structure)
 
             def loss_fn(p):
-                return weight * gqe.margin_loss_rows(
+                return weight * gqe.margin_loss_rows_onegather(
                     cfg, p, structure, anchors, rels, modes, tgt, neg, mask)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
+            params, opt_state = _apply_optimizer(optimizer, params, grads,
+                                                 opt_state)
             return (params, opt_state), loss
 
         (params, opt_state), losses = jax.lax.scan(
@@ -237,3 +291,104 @@ def make_onthefly_train_step(cfg, optimizer, dg: DeviceGraph):
                        np.float32(weight))
 
     return run
+
+
+def run_train_onthefly(cfg, schema, params, dg: DeviceGraph,
+                       val_queries=None, total_steps: int | None = None,
+                       burn_in_steps: int | None = None,
+                       steps_per: int = 100, key=None, optimizer=None,
+                       log=None):
+    """Production driver for the pool-free pipeline (`gqe-train --pipeline
+    onthefly`): burn-in (1p) then weighted multitask over all 7 structures,
+    every batch sampled ON DEVICE inside the compiled scan — the
+    BASELINE.json stretch capability ("query sampling and path traversal
+    compile to sparse gather/scatter") end to end. Eval still uses offline
+    exact-negative val queries. Returns a training/loop.py::TrainResult."""
+    import time
+
+    from graphqembed_tpu.config import STRUCTURES
+    from graphqembed_tpu.training.device_data import default_optimizer
+    from graphqembed_tpu.training.eval import eval_auc
+    from graphqembed_tpu.training.loop import (
+        TrainResult,
+        check_conv,
+        structure_weight,
+    )
+
+    total_steps = total_steps if total_steps is not None else cfg.max_iter
+    burn_in_steps = (burn_in_steps if burn_in_steps is not None
+                     else min(cfg.max_burn_in, total_steps))
+    optimizer = optimizer or default_optimizer(cfg)
+    opt_state = optimizer.init(params)
+    key = key if key is not None else jax.random.key(cfg.seed)
+    step_fn = make_onthefly_train_step(cfg, optimizer, dg)
+    structures = list(STRUCTURES)
+    losses: dict[str, list[float]] = {s: [] for s in structures}
+    burn_series: list[float] = []
+    multi_series: list[float] = []
+    val_history: list[tuple[int, float]] = []
+    best_macro = -1.0
+    best_params = jax.tree.map(lambda x: x.copy(), params)
+    done = 0
+    dispatch_i = 0
+    t0 = time.time()
+
+    def dispatch(structure, n):
+        nonlocal params, opt_state, done, dispatch_i
+        params, opt_state, mloss = step_fn(
+            params, opt_state, structure,
+            jax.random.fold_in(key, dispatch_i), n,
+            structure_weight(cfg, structure))
+        dispatch_i += 1
+        done += n
+        loss = float(mloss)
+        losses[structure].append(loss)
+        if log:
+            log(done, structure, loss)
+        return loss
+
+    burn_window = max(1, round(cfg.conv_window / steps_per))
+    while done < burn_in_steps:
+        burn_series.append(dispatch("1p", min(steps_per,
+                                              burn_in_steps - done)))
+        if check_conv(burn_series, burn_window, cfg.tol):
+            break
+    actual_burn_in = done
+
+    multi_window = max(1, round(cfg.conv_window
+                                / (len(structures) * steps_per)))
+    eval_every = max(1, cfg.val_every)
+    next_eval = done + eval_every
+    while done < total_steps:
+        round_losses = []
+        for s in structures:
+            if done >= total_steps:
+                break
+            round_losses.append(dispatch(s, steps_per))
+        multi_series.append(float(np.mean(round_losses)))
+        if val_queries and done >= next_eval:
+            aucs = eval_auc(cfg, params, schema, val_queries, seed=cfg.seed)
+            macro = aucs.get("macro", 0.0)
+            val_history.append((done, macro))
+            if macro > best_macro:
+                best_macro = macro
+                best_params = jax.tree.map(lambda x: x.copy(), params)
+            next_eval = done + eval_every
+        if check_conv(multi_series, multi_window, cfg.tol):
+            break
+    if val_queries and not val_history:
+        aucs = eval_auc(cfg, params, schema, val_queries, seed=cfg.seed)
+        best_macro = aucs.get("macro", 0.0)
+        val_history.append((done, best_macro))
+        best_params = params
+    dt = time.time() - t0
+    return TrainResult(
+        params=params,
+        best_params=best_params if best_macro >= 0 else params,
+        best_val_auc=best_macro,
+        steps=done,
+        burn_in_steps=actual_burn_in,
+        losses=losses,
+        val_history=val_history,
+        queries_per_sec=done * cfg.batch_size / max(dt, 1e-9),
+    )

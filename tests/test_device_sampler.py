@@ -133,3 +133,93 @@ def test_onthefly_training_learns(dg):
                                 20, 1.0)
     assert np.isfinite(float(li))
     assert np.isfinite(np.asarray(params["table"])).all()
+
+
+def test_ip_batch_valid(dg):
+    """ip on-device batches: both branches are real edges into the JOIN node
+    v, v -r3-> target is a real edge, branches distinct, inter_mode = v's
+    mode. v is recovered by intersecting branch-1 neighbors with r3's
+    reverse neighbors of the target."""
+    from graphqembed_tpu.training.device_sampler import sample_ip_batch
+
+    graph, d = dg
+    schema = graph.schema
+    anchors, rels, modes, tgt, neg, ok = map(
+        np.asarray, sample_ip_batch(d, jax.random.key(11), 128))
+    assert ok.mean() > 0.4, ok.mean()
+    checked = 0
+    for i in np.nonzero(ok)[0]:
+        if checked >= 20:
+            break
+        r1 = schema.rel_of(int(rels[i, 0]))
+        r2 = schema.rel_of(int(rels[i, 1]))
+        r3 = schema.rel_of(int(rels[i, 2]))
+        # candidate join nodes: reached from a1 via r1 AND from a2 via r2
+        # AND having target as an r3-neighbor
+        v1 = set(graph.neighbors(int(anchors[i, 0]), r1).tolist())
+        v2 = set(graph.neighbors(int(anchors[i, 1]), r2).tolist())
+        vs = {v for v in v1 & v2
+              if int(tgt[i]) in set(graph.neighbors(v, r3).tolist())}
+        assert vs, (i, r1, r2, r3)
+        assert (int(rels[i, 0]), int(anchors[i, 0])) != \
+               (int(rels[i, 1]), int(anchors[i, 1]))
+        assert int(modes[i]) == schema.mode_id(r1[2])  # join node's mode
+        lo, hi = schema.mode_range(r3[2])
+        assert lo <= neg[i] < hi and neg[i] != tgt[i]
+        checked += 1
+    assert checked >= 10
+
+
+def test_pi_batch_valid(dg):
+    """pi on-device batches: a1 -r1-> v -r2-> t is a real 2-chain, a2 -r3-> t
+    a real edge distinct from the chain's last edge, inter_mode = t's mode."""
+    from graphqembed_tpu.training.device_sampler import sample_pi_batch
+
+    graph, d = dg
+    schema = graph.schema
+    anchors, rels, modes, tgt, neg, ok = map(
+        np.asarray, sample_pi_batch(d, jax.random.key(12), 128))
+    assert ok.mean() > 0.4, ok.mean()
+    checked = 0
+    for i in np.nonzero(ok)[0]:
+        if checked >= 20:
+            break
+        r1 = schema.rel_of(int(rels[i, 0]))
+        r2 = schema.rel_of(int(rels[i, 1]))
+        r3 = schema.rel_of(int(rels[i, 2]))
+        # chain: exists v with a1 -r1-> v -r2-> t
+        mids = set(graph.neighbors(int(anchors[i, 0]), r1).tolist())
+        assert any(int(tgt[i]) in set(graph.neighbors(v, r2).tolist())
+                   for v in mids)
+        # edge branch into t
+        assert graph.has_edge(int(anchors[i, 1]), r3, int(tgt[i]))
+        assert int(modes[i]) == schema.mode_id(r3[2])
+        lo, hi = schema.mode_range(r3[2])
+        assert lo <= neg[i] < hi and neg[i] != tgt[i]
+        checked += 1
+    assert checked >= 10
+
+
+def test_run_train_onthefly_quality(dg):
+    """The CLI-reachable pool-free driver: full 7-structure on-device
+    protocol reaches above-chance AUC on offline exact-negative val
+    queries — the BASELINE.json stretch capability end to end."""
+    from graphqembed_tpu.data.sampling import QuerySampler
+    from graphqembed_tpu.training.device_sampler import run_train_onthefly
+
+    graph, d = dg
+    cfg = GQEConfig(embed_dim=32, projection="bilinear", batch_size=128,
+                    lr=0.03, seed=2, val_every=10**9, tol=0.0,
+                    conv_window=10**9)
+    s = QuerySampler(graph, np.random.default_rng(5), max_negs=20)
+    val = []
+    for st in ("1p", "2p", "2i", "ip", "pi"):
+        val += s.sample_many(st, 60)
+    params = init_params(cfg, graph.schema, jax.random.key(1))
+    res = run_train_onthefly(cfg, graph.schema, params, d, val_queries=val,
+                             total_steps=2200, burn_in_steps=400,
+                             steps_per=50)
+    assert res.steps >= 2200
+    assert set(res.losses.keys()) >= {"1p", "2p", "3p", "2i", "3i", "ip", "pi"}
+    assert all(len(v) > 0 for v in res.losses.values())
+    assert res.best_val_auc > 0.6, res.best_val_auc
