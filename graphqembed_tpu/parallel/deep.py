@@ -113,35 +113,42 @@ def sage_encode_sharded(cfg: GQEConfig, mesh: Mesh, table: jnp.ndarray,
         self_t = jnp.einsum("bd,bde->be", base, enc_params["W_self"][mode],
                             preferred_element_type=jnp.float32,
                             precision=prec)
+        # O(1) EXCHANGES PER HOP: the per-relation neighbor-id requests and
+        # the neighbor-embedding requests are each batched into a SINGLE
+        # owner-compute all_to_all over all J relation slots (the r02 shape
+        # issued one per relation per hop — dozens of sequential collective
+        # latencies at real relation counts). Local aggregation/matmuls stay
+        # per-slot, so forward values remain bitwise-equal to
+        # encoders.sage_encode (pinned by test_sharded_deep.py).
+        valid_rel = rels >= 0
+        rel_safe = jnp.maximum(rels, 0)                  # [B, J]
+        flat_rows = rel_safe * st.max_from + local[:, None]
+        nb = gather(st.flat_nbrs, flat_rows.reshape(-1)).reshape(
+            rels.shape + (st.sample_size,))              # [B, J, S], −1 pad
+        nb_mask = (nb >= 0) & valid_rel[:, :, None]
+        nb_emb = embed(jnp.maximum(nb, 0).reshape(-1), k - 1).reshape(
+            nb.shape + (table.shape[1],))                # [B, J, S, d]
         acc = self_t
         for j in range(J):
-            rel_j = rels[:, j]
-            valid_rel = rel_j >= 0
-            rel_safe = jnp.maximum(rel_j, 0)
-            flat_row = rel_safe * st.max_from + local
-            nb = gather(st.flat_nbrs, flat_row)          # [B, S], −1 pad
-            nb_mask = (nb >= 0) & valid_rel[:, None]
-            nb_safe = jnp.maximum(nb, 0)
-            nb_emb = embed(nb_safe.reshape(-1), k - 1).reshape(
-                nb.shape + (table.shape[1],))
-            m = nb_mask[..., None].astype(nb_emb.dtype)
+            m = nb_mask[:, j, :, None].astype(nb_emb.dtype)
             if aggregator == "mean":
-                agg = jnp.sum(nb_emb * m, axis=1) / jnp.maximum(
+                agg = jnp.sum(nb_emb[:, j] * m, axis=1) / jnp.maximum(
                     jnp.sum(m, axis=1), 1.0)
             elif aggregator == "pool":
                 h = jax.nn.relu(jnp.einsum(
-                    "bsd,bde->bse", nb_emb, enc_params["W_pool"][rel_safe],
+                    "bsd,bde->bse", nb_emb[:, j],
+                    enc_params["W_pool"][rel_safe[:, j]],
                     preferred_element_type=jnp.float32, precision=prec))
-                h = jnp.where(nb_mask[..., None], h, -jnp.inf)
+                h = jnp.where(nb_mask[:, j, :, None], h, -jnp.inf)
                 agg = jnp.max(h, axis=1)
                 agg = jnp.where(jnp.isfinite(agg), agg, 0.0)
             else:
                 raise ValueError(aggregator)
             rel_t = jnp.einsum("bd,bde->be", agg,
-                               enc_params["W_rel"][rel_safe],
+                               enc_params["W_rel"][rel_safe[:, j]],
                                preferred_element_type=jnp.float32,
                                precision=prec)
-            acc = acc + jnp.where(valid_rel[:, None], rel_t, 0.0)
+            acc = acc + jnp.where(valid_rel[:, j][:, None], rel_t, 0.0)
         return l2_normalize(jax.nn.relu(acc))
 
     return embed(ids, depth)

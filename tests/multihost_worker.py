@@ -78,8 +78,70 @@ def main():
                                    targets_g, negs_g, mask_g, im, 1.0)
     loss = float(loss)
     assert np.isfinite(loss), loss
+
+    # --- explicit shard_map collectives ACROSS the process boundary ---
+    # GSPMD and shard_map lower differently over multi-process meshes; the
+    # owner-compute all_to_all route (parallel/gather.py) and the sharded
+    # SAGE step (parallel/deep.py) must be exercised here too, not only on
+    # the single-process 8-device mesh.
+    from jax.sharding import NamedSharding
+
+    from graphqembed_tpu.parallel.gather import sharded_gather
+
+    n_rows = 4 * n_global
+    d = 8
+    tbl = (np.arange(n_rows, dtype=np.float32)[:, None]
+           * np.ones((1, d), np.float32))
+    tbl_g = jax.device_put(tbl, NamedSharding(mesh, P("data", None)))
+    ids = np.arange(n_global, dtype=np.int32)[::-1] * 2  # cross-shard ids
+    ids_g = jax.device_put(ids, NamedSharding(mesh, P("data")))
+    rows = jax.jit(
+        lambda t, i: sharded_gather(mesh, t, i),
+        out_shardings=NamedSharding(mesh, P()),
+    )(tbl_g, ids_g)
+    np.testing.assert_array_equal(np.asarray(rows), tbl[ids])
+
+    # one sharded depth-1 SAGE train step (batched one-exchange-per-hop)
+    import dataclasses
+
+    from graphqembed_tpu.models.encoders import NeighborTables
+    from graphqembed_tpu.parallel.deep import (
+        ShardedNeighborTables,
+        make_sharded_deep_train_step,
+    )
+
+    cfg_d = dataclasses.replace(cfg, depth=1, projection="transe")
+    params_d = shard_params(
+        init_params(cfg_d, graph.schema, jax.random.key(1)), mesh)
+    opt_d = optax.adam(cfg_d.lr)
+    opt_state_d = opt_d.init(params_d)
+    st = ShardedNeighborTables.build(
+        mesh, NeighborTables.build(graph, sample_size=4, seed=0))
+    deep_step = make_sharded_deep_train_step(cfg_d, opt_d, mesh, st)
+    qs1p = QuerySampler(graph, np.random.default_rng(1),
+                        max_negs=10).sample_many("1p", 40)
+    data1p = TrainData(graph.schema, qs1p, batch_size=b_global, seed=0)
+    rels1, anchors1, targets1, negs1, mask1, im1 = data1p.sample_batch("1p")
+    anchors1_g = global_batch_from_local(mesh, anchors1[lo:hi], P("data", None))
+    targets1_g = global_batch_from_local(mesh, targets1[lo:hi], P("data"))
+    negs1_g = global_batch_from_local(mesh, negs1[lo:hi], P("data"))
+    rep = NamedSharding(mesh, P())
+    # replicated global arrays (plain jnp arrays are process-local and can't
+    # mix with global arrays in a multi-process jit)
+    rels_rows = jax.device_put(
+        np.ascontiguousarray(np.broadcast_to(
+            np.asarray(rels1)[None, :], (b_global, len(rels1)))), rep)
+    modes_rows = jax.device_put(np.full((b_global,), int(im1), np.int32),
+                                rep)
+    params_d, opt_state_d, loss_d = deep_step(
+        params_d, opt_state_d, "1p", anchors1_g, rels_rows, modes_rows,
+        targets1_g, negs1_g)
+    loss_d = float(loss_d)
+    assert np.isfinite(loss_d), loss_d
+
     print(f"MULTIHOST_OK pid={pid} procs={info['process_count']} "
-          f"devices={n_global} loss={loss:.6f}", flush=True)
+          f"devices={n_global} loss={loss:.6f} deep_loss={loss_d:.6f}",
+          flush=True)
 
 
 if __name__ == "__main__":
