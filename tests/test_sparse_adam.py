@@ -97,3 +97,40 @@ def test_sparse_scan_step_trains(graph):
     assert float(l1) < 0.7 * float(l0), (float(l0), float(l1))
     assert np.isfinite(np.asarray(table)).all()
     assert int(table_state.count) == 310
+
+
+def test_scan_carry_aliasing_deterministic(graph):
+    """Scan-carry aliasing audit (docs/DESIGN.md §9): the sparse scan step
+    donates (table, moments) and updates them via scatters carrying
+    unique_indices=True — a promise dedup_row_grads must uphold. Two claims:
+    (1) duplicate batch ids are resolved BEFORE the scatter (all duplicates
+    become the out-of-bounds sentinel, which mode='drop' masks), so the
+    promise holds even for adversarial batches; (2) rerunning the identical
+    donated scan from identical copies is bit-deterministic."""
+    cfg = GQEConfig(embed_dim=16, projection="transe", batch_size=16,
+                    lr=0.05, seed=0)
+    # adversarial pool: ONE query repeated -> every step's batch gathers the
+    # same ids 16 times over -> maximal duplicate pressure on the scatter
+    s = QuerySampler(graph, np.random.default_rng(2), max_negs=5)
+    q = s.sample_many("1p", 1)[0]
+    data = DeviceTrainData(graph.schema, [q] * 4)
+    params = init_params(cfg, graph.schema, jax.random.key(0))
+
+    def run_once():
+        p = jax.tree.map(lambda x: x.copy(), params)
+        table = p.pop("table")
+        st = init_lazy_adam(table)
+        opt = optax.adam(cfg.lr)
+        ost = opt.init(p)
+        scan = make_scan_train_step_sparse(cfg, opt)
+        p, table, st, ost, loss = scan(p, table, st, ost, data.pools["1p"],
+                                       "1p", jax.random.key(1), 30, 1.0,
+                                       False)
+        return np.asarray(table), np.asarray(st.mu), float(loss)
+
+    t1, m1, l1 = run_once()
+    t2, m2, l2 = run_once()
+    np.testing.assert_array_equal(t1, t2)
+    np.testing.assert_array_equal(m1, m2)
+    assert l1 == l2
+    assert np.isfinite(t1).all()
