@@ -40,6 +40,12 @@ def main():
     ap.add_argument("--lr", type=float, default=0.03)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--out", type=str, default="RESULTS_bio_paperscale.md")
+    ap.add_argument("--hard_frac", type=float, default=0.5,
+                    help="fraction of i-structure steps drawing HARD "
+                         "negatives (0.5 = reference alternation)")
+    ap.add_argument("--pool_width", type=int, default=16,
+                    help="stored negative/hard pool width for non-1p "
+                         "structures (diversity of the per-step draw)")
     args = ap.parse_args()
     if args.quick:
         args.scale, args.avg_degree = 2.0, 8.0
@@ -72,7 +78,7 @@ def main():
     cfg = GQEConfig(embed_dim=128, projection="bilinear", intersection="min",
                     batch_size=512, lr=args.lr, seed=0,
                     val_every=max(1, args.steps // 10), tol=0.0,
-                    conv_window=10**9)
+                    conv_window=10**9, hard_neg_frac=args.hard_frac)
 
     graph = synthetic_graph(seed=0, scale=args.scale,
                             avg_degree=args.avg_degree)
@@ -105,7 +111,9 @@ def main():
         out = {}
         for st, fut in futures.items():
             arr = fut.result()
-            out[st] = device_pool_from_arrays(graph.schema, arr)
+            out[st] = device_pool_from_arrays(graph.schema, arr,
+                                              neg_width=args.pool_width,
+                                              hard_neg_width=args.pool_width)
             print(f"{st} pool: {len(arr['targets'])} "
                   f"({time.time()-t0:.0f}s since build start)", flush=True)
         ex.shutdown()

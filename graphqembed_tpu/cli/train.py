@@ -77,6 +77,19 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def dispatch_steps_per(max_iter: int) -> int:
+    """Dispatch granularity for the device/onthefly pipelines: 100
+    steps/structure/round at production budgets, proportionally finer below
+    max_iter=2000 so rounding whole segments to dispatch boundaries cannot
+    overshoot a small budget by multiples. COUPLING, by design: eval,
+    checkpoint, and convergence checks all quantize to this boundary — a
+    checkpoint lands at the first boundary past each --ckpt_every multiple,
+    and bitwise resume equality holds because the boundary sequence is a
+    pure function of (max_iter, step counters), never wall-clock. Pinned by
+    tests/test_cli.py::test_dispatch_steps_per."""
+    return max(1, min(100, max_iter // 20))
+
+
 def load_dataset(args, skip_train: bool = False):
     """skip_train=True (stream pipeline) leaves train queries on disk —
     the whole point of the beyond-RAM loader."""
@@ -185,7 +198,7 @@ def main(argv=None):
         )
         dg = DeviceGraph.build(graph, sample_size=args.neighbor_samples,
                                seed=cfg.seed)
-        steps_per = max(1, min(100, args.max_iter // 20))
+        steps_per = dispatch_steps_per(args.max_iter)
         res = run_train_onthefly(
             cfg, graph.schema, params, dg, val_queries=val,
             steps_per=steps_per,
@@ -198,10 +211,7 @@ def main(argv=None):
             run_train_device_mega,
         )
         data = DeviceTrainData(graph.schema, train)
-        # dispatch granularity: 100 steps/structure/round for production
-        # budgets, proportionally finer for small --max_iter so rounding to
-        # dispatch boundaries doesn't overshoot the budget by multiples
-        steps_per = max(1, min(100, args.max_iter // 20))
+        steps_per = dispatch_steps_per(args.max_iter)
         res = run_train_device_mega(
             cfg, graph.schema, params, data, val_queries=val,
             steps_per=steps_per,

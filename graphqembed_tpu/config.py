@@ -59,6 +59,14 @@ class GQEConfig:
     path_weight: float = 0.01        # loss weight for 2p/3p batches
     inter_weight: float = 0.005      # loss weight for 2i/3i/ip/pi batches
     hard_neg_alternate: bool = True  # alternate plain/hard negatives for i-structures
+    # Fraction of intersection-structure steps drawing the negative from the
+    # HARD pool (device pipelines). 0.5 (default) = the reference's strict
+    # step-parity alternation, bit-preserved; other values generalize the
+    # schedule (1.0 = every step hard, 0.75 = 3-in-4, ...) — a tuning
+    # extension beyond reference semantics for attacking hard-negative AUC
+    # at paper scale (RESULTS_bio_paperscale.md). Host loop and oracle keep
+    # strict alternation (the parity protocol).
+    hard_neg_frac: float = 0.5
     seed: int = 0
 
     # --- eval (SURVEY.md §2.6) ---
@@ -93,6 +101,7 @@ class GQEConfig:
         assert 0 <= self.depth <= 2, self.depth
         assert self.compute_dtype in ("float32", "bfloat16")
         assert self.storage_dtype in ("float32", "bfloat16")
+        assert 0.0 <= self.hard_neg_frac <= 1.0, self.hard_neg_frac
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)

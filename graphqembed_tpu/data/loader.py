@@ -150,11 +150,17 @@ def load_queries_by_formula(path: str | Path) -> dict:
 
 def load_test_queries_by_formula(path: str | Path) -> dict:
     """Test-query views in the reference's one_neg / full_neg organization
-    [R: netquery/data_utils.py::load_test_queries_by_formula (conf=H)]: this
-    framework stores ONE test set with exhaustive negatives (gqe-sample);
-    'full_neg' is that set as-is (APR protocol) and 'one_neg' is the same
-    queries — eval_auc draws its single negative per positive at eval time
-    with a fixed seed (SURVEY.md §2.6)."""
+    [R: netquery/data_utils.py::load_test_queries_by_formula (conf=H)].
+
+    The reference pre-splits its test files by the stored negative count:
+    queries carrying a single sampled negative feed the AUC protocol
+    ("one_neg") and queries carrying exhaustive type-matched negatives feed
+    percentile rank ("full_neg") [SURVEY.md §2.6, conf=M on the exact split
+    rule]. This loader applies that rule: a MIXED set splits by
+    len(neg_samples) == 1; a homogeneous exhaustive set (what gqe-sample
+    emits) serves BOTH views — eval_auc then draws its single negative per
+    positive at eval time with a fixed seed, which is the documented,
+    reconciled-when-real-data-lands delta."""
     queries = load_queries(path)
     from graphqembed_tpu.data.queries import group_by_formula
 
@@ -164,7 +170,11 @@ def load_test_queries_by_formula(path: str | Path) -> dict:
             out.setdefault(f.structure, {})[f] = g
         return out
 
-    return {"one_neg": by_struct(queries), "full_neg": by_struct(queries)}
+    one = [q for q in queries if len(q.neg_samples) == 1]
+    full = [q for q in queries if len(q.neg_samples) != 1]
+    if not one or not full:     # homogeneous set: both views see everything
+        one = full = queries
+    return {"one_neg": by_struct(one), "full_neg": by_struct(full)}
 
 
 def load_queries(path: str | Path) -> list[Query]:

@@ -153,6 +153,17 @@ class DeviceTrainData:
         return self
 
 
+def _hard_step(cfg: GQEConfig, t):
+    """Whether scan step t draws its negative from the HARD pool
+    (intersection structures, use_hard=True): strict parity alternation at
+    the default hard_neg_frac=0.5 — bit-preserving the reference schedule —
+    otherwise an 8-step cycle with round(frac*8) hard steps."""
+    if cfg.hard_neg_frac == 0.5:
+        return (t % 2) == 1
+    k = int(round(cfg.hard_neg_frac * 8))
+    return (t % 8) < k
+
+
 class FusedAdamOpt:
     """Optimizer shim for the scan drivers backed by ops/fused_adam.py: the
     whole Adam update is ONE aliased HBM pass per leaf per step, and bfloat16
@@ -241,7 +252,7 @@ def make_scan_train_step(cfg: GQEConfig, optimizer, neighbor_tables=None):
             idx = jax.random.randint(k_idx, (b,), 0, n)
             j = jax.random.randint(k_neg, (b,), 0, 1 << 30)
             if use_hard:
-                odd = (t % 2) == 1
+                odd = _hard_step(cfg, t)
                 pool = jnp.where(odd, hard[idx], negs[idx])
                 cnt = jnp.where(odd, hard_counts[idx], neg_counts[idx])
             else:
@@ -315,7 +326,7 @@ def make_scan_train_step_fused(cfg: GQEConfig):
             idx = jax.random.randint(k_idx, (b,), 0, n)
             j = jax.random.randint(k_neg, (b,), 0, 1 << 30)
             if use_hard:
-                odd = (t % 2) == 1
+                odd = _hard_step(cfg, t)
                 pool = jnp.where(odd, hard[idx], negs[idx])
                 cnt = jnp.where(odd, hard_counts[idx], neg_counts[idx])
             else:
@@ -376,7 +387,7 @@ def make_scan_train_step_sparse(cfg: GQEConfig, small_optimizer):
             idx = jax.random.randint(k_idx, (b,), 0, n)
             j = jax.random.randint(k_neg, (b,), 0, 1 << 30)
             if use_hard:
-                odd = (t % 2) == 1
+                odd = _hard_step(cfg, t)
                 npool = jnp.where(odd, hard[idx], negs[idx])
                 cnt = jnp.where(odd, hard_counts[idx], neg_counts[idx])
             else:
@@ -466,7 +477,7 @@ def make_multitask_mega_step(cfg: GQEConfig, optimizer,
             idx = jax.random.randint(k_idx, (b,), 0, n)
             j = jax.random.randint(k_neg, (b,), 0, 1 << 30)
             if use_hard:
-                odd = (t % 2) == 1
+                odd = _hard_step(cfg, t)
                 pool = jnp.where(odd, hard[idx], negs[idx])
                 cnt = jnp.where(odd, hard_counts[idx], neg_counts[idx])
             else:

@@ -294,3 +294,37 @@ def test_onegather_loss_matches_margin_loss_rows(graph, structure):
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6), g1, g2)
+
+
+def test_hard_neg_frac_schedule(graph):
+    """hard_neg_frac: 0.5 preserves strict parity alternation bit-for-bit;
+    1.0 draws hard every step (verified by pool-distinguishability: give
+    each query disjoint plain/hard pools and check the sampled negative's
+    provenance through the loss path is consistent — here via the schedule
+    helper directly plus an e2e train sanity)."""
+    import dataclasses
+
+    from graphqembed_tpu.training.device_data import _hard_step
+
+    cfg = GQEConfig(embed_dim=16)
+    assert [bool(_hard_step(cfg, t)) for t in range(6)] == \
+        [False, True, False, True, False, True]
+    cfg1 = dataclasses.replace(cfg, hard_neg_frac=1.0)
+    assert all(bool(_hard_step(cfg1, t)) for t in range(16))
+    cfg0 = dataclasses.replace(cfg, hard_neg_frac=0.0)
+    assert not any(bool(_hard_step(cfg0, t)) for t in range(16))
+    cfg75 = dataclasses.replace(cfg, hard_neg_frac=0.75)
+    pat = [bool(_hard_step(cfg75, t)) for t in range(8)]
+    assert sum(pat) == 6
+
+    # e2e: frac=1.0 trains finite on an intersection structure
+    cfg_t = GQEConfig(embed_dim=16, projection="transe", batch_size=32,
+                      lr=0.05, hard_neg_frac=1.0)
+    s = QuerySampler(graph, np.random.default_rng(1), max_negs=10)
+    data = DeviceTrainData(graph.schema, s.sample_many("2i", 200))
+    params = init_params(cfg_t, graph.schema, jax.random.key(0))
+    opt = optax.adam(cfg_t.lr)
+    scan = make_scan_train_step(cfg_t, opt)
+    params, _, loss = scan(params, opt.init(params), data.pools["2i"], "2i",
+                           jax.random.key(1), 30, 1.0, True)
+    assert np.isfinite(float(loss))

@@ -67,3 +67,44 @@ def test_direction_flip_intersections(graph):
         else:  # ip
             ref_form = tuple(reverse_relation(x) for x in r)
         assert reference_rels_to_application_order(st, ref_form) == r
+
+
+def test_test_queries_one_neg_full_neg_split(graph, tmp_path):
+    """Mixed test sets split by stored negative count (the reference's
+    one_neg/full_neg organization); homogeneous exhaustive sets serve both
+    views unchanged (the documented gqe-sample behavior)."""
+    from graphqembed_tpu.data.loader import (
+        load_test_queries_by_formula,
+        save_queries,
+    )
+    from graphqembed_tpu.data.sampling import QuerySampler
+
+    s = QuerySampler(graph, np.random.default_rng(4), max_negs=20)
+    qs = s.sample_many("1p", 30)
+    # make half the queries one_neg-style (a single stored negative)
+    import dataclasses as dc
+    mixed = [dc.replace(q, neg_samples=q.neg_samples[:1]) if i % 2 == 0
+             else q for i, q in enumerate(qs) if len(q.neg_samples) > 1]
+    out = tmp_path / "mixed"
+    save_queries(out, graph.schema, mixed)
+    views = load_test_queries_by_formula(out)
+    n_one = sum(len(g) for fs in views["one_neg"].values()
+                for g in fs.values())
+    n_full = sum(len(g) for fs in views["full_neg"].values()
+                 for g in fs.values())
+    assert n_one + n_full == len(mixed)
+    assert n_one > 0 and n_full > 0
+    for fs in views["one_neg"].values():
+        for g in fs.values():
+            assert all(len(q.neg_samples) == 1 for q in g)
+    for fs in views["full_neg"].values():
+        for g in fs.values():
+            assert all(len(q.neg_samples) > 1 for q in g)
+
+    # homogeneous exhaustive set: both views identical, nothing dropped
+    out2 = tmp_path / "homog"
+    save_queries(out2, graph.schema, qs)
+    views2 = load_test_queries_by_formula(out2)
+    c1 = sum(len(g) for fs in views2["one_neg"].values() for g in fs.values())
+    c2 = sum(len(g) for fs in views2["full_neg"].values() for g in fs.values())
+    assert c1 == c2 == len(qs)
