@@ -29,7 +29,13 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scale", type=float, default=114.0)
+    ap.add_argument("--dataset", type=str, default="bio",
+                    choices=["bio", "reddit"],
+                    help="synthetic schema family (the two paper "
+                         "benchmarks); reddit uses graph/synthetic.py::"
+                         "reddit_graph at the same paper-like node count")
+    ap.add_argument("--scale", type=float, default=None,
+                    help="default: 114 (bio, ~100k nodes) / 60 (reddit)")
     ap.add_argument("--avg_degree", type=float, default=40.0)
     ap.add_argument("--n_inter", type=int, default=50000,
                     help="train queries per non-1p structure")
@@ -47,6 +53,10 @@ def main():
                     help="stored negative/hard pool width for non-1p "
                          "structures (diversity of the per-step draw)")
     args = ap.parse_args()
+    if args.scale is None:
+        args.scale = 60.0 if args.dataset == "reddit" else 114.0
+    if args.out == "RESULTS_bio_paperscale.md" and args.dataset == "reddit":
+        args.out = "RESULTS_reddit_paperscale.md"
     if args.quick:
         args.scale, args.avg_degree = 2.0, 8.0
         args.n_inter, args.n_val, args.n_test = 2000, 100, 50
@@ -61,7 +71,11 @@ def main():
 
     from graphqembed_tpu.config import STRUCTURES, GQEConfig
     from graphqembed_tpu.data.sampling import QuerySampler, parallel_sample
-    from graphqembed_tpu.graph.synthetic import holdout_edges, synthetic_graph
+    from graphqembed_tpu.graph.synthetic import (
+        holdout_edges,
+        reddit_graph,
+        synthetic_graph,
+    )
     from graphqembed_tpu.models.params import init_params
     from graphqembed_tpu.native import (
         native_all_edges_1p,
@@ -80,8 +94,8 @@ def main():
                     val_every=max(1, args.steps // 10), tol=0.0,
                     conv_window=10**9, hard_neg_frac=args.hard_frac)
 
-    graph = synthetic_graph(seed=0, scale=args.scale,
-                            avg_degree=args.avg_degree)
+    gen = reddit_graph if args.dataset == "reddit" else synthetic_graph
+    graph = gen(seed=0, scale=args.scale, avg_degree=args.avg_degree)
     train_graph, held = holdout_edges(graph, frac=0.1, seed=1)
     print(f"graph: {graph.schema.n_nodes} nodes, {graph.num_edges()} edges, "
           f"{len(held)} held out", flush=True)
@@ -159,7 +173,7 @@ def main():
 
     r = lambda d: {k: round(v, 4) for k, v in d.items()}
     report = {
-        "dataset": "bio-synth-paperscale",
+        "dataset": f"{args.dataset}-synth-paperscale",
         "graph": {"nodes": graph.schema.n_nodes, "edges": graph.num_edges(),
                   "held_out_edges": len(held), "scale": args.scale,
                   "avg_degree": args.avg_degree},
@@ -184,7 +198,7 @@ def main():
         f"| {val_apr.get(st, float('nan')):.3f} "
         f"| {test_auc.get(st, float('nan')):.3f} |"
         for st in (*STRUCTURES, "macro"))
-    md = f"""# RESULTS — paper-scale synthetic-bio run (TPU v5e, 1 chip)
+    md = f"""# RESULTS — paper-scale synthetic-{args.dataset} run (TPU v5e, 1 chip)
 
 Full protocol with FULL 1p coverage: every one of the {n_1p} train edges is
 a 1p query (C++ all-edges pool, exact negatives), {args.n_inter} queries per
