@@ -181,7 +181,9 @@ def main():
                    "batch": cfg.batch_size, "lr": cfg.lr,
                    "steps": res.steps, "burn_in": res.burn_in_steps,
                    "n_train_1p": n_1p,
-                   "n_train_per_other_structure": args.n_inter},
+                   "n_train_per_other_structure": args.n_inter,
+                   "hard_neg_frac": args.hard_frac,
+                   "pool_width": args.pool_width},
         "train_queries_per_sec_per_chip": round(res.queries_per_sec, 1),
         "val_auc": r(val_auc), "val_auc_hard": r(val_hard),
         "val_apr": r(val_apr), "clean_test_auc": r(test_auc),
@@ -206,7 +208,9 @@ other structure, all through the array fast path (no python Query objects on
 the train side). Graph: {graph.schema.n_nodes} nodes /
 {graph.num_edges()} directed edges, 10% held out; clean-test queries are
 answerable only with held-out edges. bilinear/min, d=128, B=512,
-{res.steps} steps (burn-in {res.burn_in_steps}), cosine lr {cfg.lr}.
+{res.steps} steps (burn-in {res.burn_in_steps}), cosine lr {cfg.lr},
+hard_neg_frac {args.hard_frac}, stored negative/hard pool width
+{args.pool_width}.
 
 | structure | val AUC | val AUC (hard neg) | val APR | clean-test AUC |
 |---|---|---|---|---|
@@ -218,10 +222,14 @@ answerable only with held-out edges. bilinear/min, d=128, B=512,
   multitask phase waited only {timings.get('pool_join_wait_s', 0.0)}s on
   them; val/clean-test sampling {t_eval_sample:.0f}s; total wall
   {report['wall_s']}s
-- round-1 comparison (20k 1p queries instead of {n_1p}): val macro 0.629,
-  clean-test macro 0.556 — the coverage fix is the delta
+{"- round-1 comparison (20k 1p queries instead of %d): val macro 0.629,"
+ "\n  clean-test macro 0.556 — the coverage fix is the delta" % n_1p
+ if args.dataset == "bio" else
+ "- small-scale comparison (RESULTS_reddit.md, round 1: 136.9k queries"
+ "\n  total): val macro 0.719 — this run is the paper-scale recipe"
+ " (all-edges 1p\n  coverage + 50k/structure) applied to reddit"}
 
-Raw JSON: `RESULTS_bio_paperscale.json`.
+Raw JSON: `{Path(args.out).with_suffix('.json').name}`.
 """
     Path(args.out).write_text(md)
     Path(args.out).with_suffix(".json").write_text(json.dumps(report, indent=2))

@@ -41,16 +41,24 @@ if not _ENV_OK and os.environ.get("_GQE_TEST_REEXEC") != "1":
     out = banner + proc.stdout + proc.stderr
 
     # pytest has already redirected fd 1/2 to capture temp files, but keeps
-    # dup()s of the originals open — find the first pipe/char-dev fd and write
-    # the child's output there so it reaches the terminal, then exit with the
-    # child's code (pytest.exit can't relay a returncode from conftest import).
+    # dup()s of the originals open — find the dup'd original (a pipe/char-dev
+    # when run at a terminal, or a writable still-linked regular file when
+    # stdout is `> log` redirected; pytest's own capture temps are unlinked,
+    # nlink==0) and write the child's output there, then exit with the
+    # child's code (pytest.exit can't relay a returncode from conftest
+    # import — it maps to exit 4 regardless).
+    import fcntl
     import stat
 
     data = out.encode()
     for fd in range(3, 64):
         try:
             st = os.fstat(fd)
-            if not (stat.S_ISFIFO(st.st_mode) or stat.S_ISCHR(st.st_mode)):
+            ok = (stat.S_ISFIFO(st.st_mode) or stat.S_ISCHR(st.st_mode)
+                  or (stat.S_ISREG(st.st_mode) and st.st_nlink > 0
+                      and (fcntl.fcntl(fd, fcntl.F_GETFL)
+                           & (os.O_WRONLY | os.O_RDWR))))
+            if not ok:
                 continue
             os.write(fd, data)
         except OSError:
