@@ -1,6 +1,7 @@
 from graphqembed_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
     make_mesh,
+    make_mesh_2d,
     pad_table_rows,
     param_shardings,
     replicated,

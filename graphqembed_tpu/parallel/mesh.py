@@ -24,6 +24,20 @@ def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     return Mesh(np.array(devs[:n]), (axis,))
 
 
+def make_mesh_2d(n_data: int, n_model: int) -> Mesh:
+    """('data', 'model') mesh: DP/row-sharding over 'data' plus tensor
+    parallelism over 'model' (operator stacks split on the feature dim —
+    see param_shardings). TP is a capability for the regime DESIGN.md's TP
+    analysis identifies (d in the thousands, or operator stacks too large to
+    replicate); at d=128 it is off by default because sub-128 matmul tiles
+    under-fill the MXU."""
+    devs = jax.devices()
+    n = n_data * n_model
+    assert n <= len(devs), (n_data, n_model, len(devs))
+    return Mesh(np.array(devs[:n]).reshape(n_data, n_model),
+                ("data", "model"))
+
+
 def table_sharding(mesh: Mesh) -> NamedSharding:
     """Row-shard the packed [N, d] embedding table across the mesh."""
     return NamedSharding(mesh, P("data", None))
@@ -39,13 +53,38 @@ def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
 
 
 def param_shardings(params: dict, mesh: Mesh) -> dict:
-    """table -> row-sharded; all operator params -> replicated (they are tiny:
-    R·d² and M·d² at d=128 is a few MB)."""
+    """table -> row-sharded over 'data'; operator params -> replicated on a
+    1-D mesh (they are tiny: R·d² and M·d² at d=128 is a few MB).
+
+    If the mesh has a 'model' axis (make_mesh_2d), the operator stacks are
+    tensor-parallel Megatron-style: the projection stacks and the
+    intersection pre-transform are COLUMN-sharded (output-feature dim over
+    'model'; each device computes its slice of the output with no
+    communication), and the intersection post-transform is ROW-sharded
+    (contraction dim over 'model'; GSPMD inserts the psum that completes the
+    matmul). Everything else — including depth>0 encoder weights — stays
+    replicated. XLA/GSPMD compiles the collectives from these annotations
+    alone; the model code is unchanged."""
     ts, rs = table_sharding(mesh), replicated(mesh)
-    return jax.tree.map_with_path(
-        lambda path, _: ts if path and getattr(path[0], "key", None) == "table" else rs,
-        params,
-    )
+    tp = "model" in mesh.axis_names
+
+    def col(ndim):  # shard the LAST (output-feature) dim
+        return NamedSharding(mesh, P(*((None,) * (ndim - 1) + ("model",))))
+
+    def spec(path, x):
+        keys = tuple(getattr(p, "key", None) for p in path)
+        if keys and keys[0] == "table":
+            return ts
+        if not tp:
+            return rs
+        if keys[:2] in {("proj", "W"), ("proj", "r"), ("proj", "w"),
+                        ("inter", "pre")}:
+            return col(x.ndim)
+        if keys[:2] == ("inter", "post"):
+            return NamedSharding(mesh, P(None, "model", None))
+        return rs
+
+    return jax.tree.map_with_path(spec, params)
 
 
 def pad_table_rows(params: dict, n_shards: int) -> tuple[dict, int]:

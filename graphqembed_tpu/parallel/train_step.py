@@ -45,15 +45,25 @@ def make_sharded_train_step(cfg: GQEConfig, optimizer, mesh, params_like: dict):
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    # opt state mirrors param shardings (adam m/v have param shapes)
+    # opt state mirrors param shardings (adam mu/nu embed the param dict
+    # tree, so match each opt-state leaf to a param by dict-key suffix —
+    # e.g. (..., 'mu', 'proj', 'W') -> ps['proj']['W']; scalars like the
+    # adam count have no dict keys and stay replicated)
+    _pmap: dict = {}
+    jax.tree.map_with_path(
+        lambda path, s: _pmap.setdefault(
+            tuple(p.key for p in path if hasattr(p, "key")), s),
+        ps)
+
     def opt_shardings(opt_state):
-        return jax.tree.map(
-            lambda x: ps["table"] if (hasattr(x, "ndim") and x.ndim == 2 and
-                                      x.shape == params_like["table"].shape)
-            else rep,
-            opt_state,
-            is_leaf=lambda x: hasattr(x, "ndim"),
-        )
+        def leaf_spec(path, x):
+            keys = tuple(p.key for p in path if hasattr(p, "key"))
+            for i in range(len(keys)):
+                if keys[i:] in _pmap:
+                    return _pmap[keys[i:]]
+            return rep
+        return jax.tree.map_with_path(
+            leaf_spec, opt_state, is_leaf=lambda x: hasattr(x, "ndim"))
 
     def compile_step(opt_state_like):
         os_ps = opt_shardings(opt_state_like)
