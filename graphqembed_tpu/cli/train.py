@@ -53,6 +53,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tol", type=float, default=1e-6)
     p.add_argument("--path_weight", type=float, default=0.01)
     p.add_argument("--inter_weight", type=float, default=0.005)
+    p.add_argument("--hard_neg_frac", type=float, default=0.5,
+                   help="fraction of intersection-structure steps drawing "
+                        "HARD negatives in the device pipelines (0.5 = the "
+                        "reference's strict alternation; host loop always "
+                        "alternates strictly)")
+    p.add_argument("--compute_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="MXU compute precision (bfloat16: ~1.5x, macro AUC "
+                        "delta -0.0014 — RESULTS_bf16.md)")
+    p.add_argument("--storage_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="table + Adam-moment storage (bfloat16 halves the "
+                        "step's dominant HBM traffic via the stochastic-"
+                        "rounding fused Adam — RESULTS_storage_bf16.md; "
+                        "device/onthefly pipelines only)")
+    p.add_argument("--bf16", action="store_true",
+                   help="shorthand: bfloat16 compute AND storage (the "
+                        "bench.py winning configuration)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--model_dir", type=str, default="runs/latest")
     p.add_argument("--log_dir", type=str, default=None)
@@ -118,6 +136,14 @@ def load_dataset(args, skip_train: bool = False):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.bf16:
+        args.compute_dtype = args.storage_dtype = "bfloat16"
+    if args.storage_dtype != "float32" and args.pipeline not in (
+            "device", "onthefly"):
+        raise SystemExit(
+            "--storage_dtype bfloat16 needs the stochastic-rounding fused "
+            "Adam, wired into --pipeline device or onthefly (host/stream "
+            "use plain optax Adam; see FusedAdamOpt docstring)")
     if args.cpu:
         import os
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -152,6 +178,9 @@ def main(argv=None):
         tol=args.tol,
         path_weight=args.path_weight,
         inter_weight=args.inter_weight,
+        hard_neg_frac=args.hard_neg_frac,
+        compute_dtype=args.compute_dtype,
+        storage_dtype=args.storage_dtype,
         seed=args.seed,
     )
     model_dir = Path(args.model_dir)

@@ -19,3 +19,35 @@ def test_dispatch_steps_per():
         sp = dispatch_steps_per(m)
         assert 1 <= sp <= 100
         assert sp <= max(1, m // 20) or m < 20  # never overshoots by >5%
+
+
+def test_bf16_flags_reach_config(tmp_path):
+    """--bf16 (and the granular dtype flags) reach GQEConfig and train a
+    tiny device-pipeline run end-to-end: params come back bf16-stored, the
+    serialized config records the precision, metrics are written."""
+    import json
+
+    from graphqembed_tpu.cli.train import main
+
+    md = tmp_path / "run"
+    rc = main([
+        "--synthetic", "--synthetic_scale", "0.3", "--n_train_queries", "60",
+        "--n_val_queries", "20", "--embed_dim", "16", "--batch_size", "16",
+        "--max_iter", "40", "--max_burn_in", "10", "--val_every", "20",
+        "--pipeline", "device", "--bf16", "--model_dir", str(md),
+    ])
+    assert rc == 0
+    cfg = json.loads((md / "config.json").read_text())
+    assert cfg["storage_dtype"] == "bfloat16"
+    assert cfg["compute_dtype"] == "bfloat16"
+    assert (md / "metrics.json").exists()
+
+
+def test_storage_bf16_rejected_on_host_pipeline():
+    import pytest
+
+    from graphqembed_tpu.cli.train import main
+
+    with pytest.raises(SystemExit, match="stochastic-rounding"):
+        main(["--synthetic", "--pipeline", "host",
+              "--storage_dtype", "bfloat16"])
