@@ -91,7 +91,9 @@ def main():
         res = run_train_device_mega(
             cfg, graph.schema, params, data, val_queries=val,
             total_steps=args.steps, burn_in_steps=args.burn_in,
-            steps_per=200, optimizer=FusedAdamOpt(cfg.lr))
+            steps_per=200, optimizer=FusedAdamOpt(cfg.lr),
+            log=lambda step, st, l: print(
+                f"  [{name}] step {step} [{st}] loss {l:.4f}", flush=True))
         auc = eval_auc(cfg, res.best_params, graph.schema, val, seed=3)
         hard = eval_auc(cfg, res.best_params, graph.schema, val, seed=3,
                         hard=True)
@@ -139,9 +141,12 @@ best-of reports.
 
 - hard-negative macro: fp32 {f32['hard_auc']['macro']:.3f} vs bf16
   {b16['hard_auc']['macro']:.3f} (Δ {report['macro_hard_auc_delta']:+.4f})
-- throughput: fp32 {f32['queries_per_sec']:.0f} q/s vs bf16
-  {b16['queries_per_sec']:.0f} q/s — **{report['throughput_ratio']}×**
 - macro AUC delta: **{report['macro_auc_delta']:+.4f}**
+- end-to-end wall-clock q/s in this run (fp32
+  {f32['queries_per_sec']:.0f} / bf16 {b16['queries_per_sec']:.0f},
+  ratio {report['throughput_ratio']}) is tunnel-RTT-dominated on this
+  deployment and NOT the throughput instrument — the fenced Theil–Sen
+  bench (bench.py) is; see DESIGN.md §7/§11
 
 Raw JSON: `RESULTS_storage_bf16.json`.
 """
