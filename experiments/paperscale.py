@@ -52,11 +52,17 @@ def main():
     ap.add_argument("--pool_width", type=int, default=16,
                     help="stored negative/hard pool width for non-1p "
                          "structures (diversity of the per-step draw)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bfloat16 compute AND storage (stochastic-rounding "
+                         "fused Adam) — the bench.py winning configuration; "
+                         "quality guard: RESULTS_storage_bf16.md")
     args = ap.parse_args()
     if args.scale is None:
         args.scale = 60.0 if args.dataset == "reddit" else 114.0
     if args.out == "RESULTS_bio_paperscale.md" and args.dataset == "reddit":
         args.out = "RESULTS_reddit_paperscale.md"
+    if args.bf16 and "_bf16" not in args.out:  # never clobber the fp32 run
+        args.out = args.out.replace(".md", "_bf16.md")
     if args.quick:
         args.scale, args.avg_degree = 2.0, 8.0
         args.n_inter, args.n_val, args.n_test = 2000, 100, 50
@@ -92,7 +98,9 @@ def main():
     cfg = GQEConfig(embed_dim=128, projection="bilinear", intersection="min",
                     batch_size=512, lr=args.lr, seed=0,
                     val_every=max(1, args.steps // 10), tol=0.0,
-                    conv_window=10**9, hard_neg_frac=args.hard_frac)
+                    conv_window=10**9, hard_neg_frac=args.hard_frac,
+                    compute_dtype="bfloat16" if args.bf16 else "float32",
+                    storage_dtype="bfloat16" if args.bf16 else "float32")
 
     gen = reddit_graph if args.dataset == "reddit" else synthetic_graph
     graph = gen(seed=0, scale=args.scale, avg_degree=args.avg_degree)
@@ -152,7 +160,11 @@ def main():
     # --- train: device mega pipeline, cosine decay ---
     params = init_params(cfg, graph.schema, jax.random.key(0))
     schedule = optax.cosine_decay_schedule(cfg.lr, args.steps, alpha=0.05)
-    optimizer = optax.adam(schedule)
+    if args.bf16:
+        from graphqembed_tpu.training.device_data import FusedAdamOpt
+        optimizer = FusedAdamOpt(schedule)  # SR writes; bf16 moments
+    else:
+        optimizer = optax.adam(schedule)
     res = run_train_device_mega(
         cfg, graph.schema, params, data, val_queries=val,
         total_steps=args.steps, burn_in_steps=args.burn_in, steps_per=200,
@@ -183,7 +195,9 @@ def main():
                    "n_train_1p": n_1p,
                    "n_train_per_other_structure": args.n_inter,
                    "hard_neg_frac": args.hard_frac,
-                   "pool_width": args.pool_width},
+                   "pool_width": args.pool_width,
+                   "compute_dtype": cfg.compute_dtype,
+                   "storage_dtype": cfg.storage_dtype},
         "train_queries_per_sec_per_chip": round(res.queries_per_sec, 1),
         "val_auc": r(val_auc), "val_auc_hard": r(val_hard),
         "val_apr": r(val_apr), "clean_test_auc": r(test_auc),
@@ -210,7 +224,8 @@ the train side). Graph: {graph.schema.n_nodes} nodes /
 answerable only with held-out edges. bilinear/min, d=128, B=512,
 {res.steps} steps (burn-in {res.burn_in_steps}), cosine lr {cfg.lr},
 hard_neg_frac {args.hard_frac}, stored negative/hard pool width
-{args.pool_width}.
+{args.pool_width}, {cfg.compute_dtype} compute / {cfg.storage_dtype}
+storage.
 
 | structure | val AUC | val AUC (hard neg) | val APR | clean-test AUC |
 |---|---|---|---|---|
