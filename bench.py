@@ -40,11 +40,15 @@ def bench_jax(graph, cfg, queries, n_steps=2000, warmup_steps=100,
     (100 train steps per dispatch), alternating 2p / 3i chunks.
 
     sparse=True uses the lazy-sparse-Adam table update (O(touched rows)).
-    Since the matmul+select projection made operator cost small, the dense
-    table work (gradient scatter into a zeros [N, d] + 3-array Adam sweep)
-    dominates the step: sparse already wins at N=35k rows (1.22M vs 1.09M
-    q/s on v5e) and the gap widens with N; dense remains the bit-faithful
-    reference-semantics default in training.
+    History: before the one-gather margin loss (docs/DESIGN.md §11) the
+    dense step paid five separate [N, d] cotangent materializations and
+    sparse won at N=35k (1.22M vs 1.09M q/s). With ONE dense cotangent the
+    ordering flipped at this N (r03 probe: fp32 dense 1.03M vs sparse
+    0.83M; bf16 1.23M vs 0.88M) — the sparse path's per-step dedup/scatter
+    fixed cost now exceeds the single dense sweep at 35k rows; sparse
+    remains the win for large N where the dense Adam sweep dominates.
+    Dense is also the bit-faithful reference-semantics default in
+    training.
 
     cfg.storage_dtype="bfloat16" stores the table + Adam moments in bf16
     (dense: fused one-pass stochastic-rounding Pallas Adam via FusedAdamOpt;
