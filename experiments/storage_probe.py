@@ -112,7 +112,11 @@ def main():
                 neg = pool.negs[idx][:, 0]
 
                 def loss_fn(p):
-                    return gqe.margin_loss_rows(
+                    # the production scan path (one fused gather; see
+                    # make_scan_train_step) — the old margin_loss_rows
+                    # five-gather variant measured within ~5% of this at
+                    # 3i, so the r03 fwd/bwd wall is NOT gather-count-bound
+                    return gqe.margin_loss_rows_onegather(
                         cfg, p, "3i", pool.anchors[idx], pool.rels[idx],
                         pool.inter_modes[idx], pool.targets[idx], neg,
                         jnp.ones(cfg.batch_size, jnp.bool_))
