@@ -23,20 +23,15 @@ import numpy as np
 
 
 def theil_sen(run, windows=(300, 1200, 2400), reps=2):
-    import jax
+    # spike-guarded shared harness (training/profiling.py): auto-widens the
+    # window set until the slope is positive with bounded IQR — the r03
+    # negative-slope arm can no longer be silently reported
+    from graphqembed_tpu.training.profiling import fenced_theil_sen
 
-    run(60)  # warmup/compile
-    pts = []
-    for _ in range(reps):
-        for n in windows:
-            t0 = time.perf_counter()
-            out = run(n)
-            jax.block_until_ready(out)
-            float(out.reshape(-1)[0]) if hasattr(out, "reshape") else float(out)
-            pts.append((n, time.perf_counter() - t0))
-    slopes = [(tj - ti) / (nj - ni) for i, (ni, ti) in enumerate(pts)
-              for nj, tj in pts[i + 1:] if nj != ni]
-    return float(np.median(slopes))
+    slope, info = fenced_theil_sen(run, windows=windows, reps=reps)
+    if info["widened"]:
+        print(json.dumps({"probe_widened": info}), flush=True)
+    return slope
 
 
 def main():

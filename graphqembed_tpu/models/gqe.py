@@ -60,8 +60,11 @@ def encode(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
 
     bf16-storage tables upcast AFTER the gather (f32 math everywhere
     downstream); the upcast placement also makes the table's cotangent
-    bfloat16, so the dense grad materialization halves its bytes too."""
-    rows = jnp.take(table, ids, axis=0)
+    bfloat16, so the dense grad materialization halves its bytes too.
+    The gather's backward scatter-add runs with SORTED indices
+    (ops/grads.py::take_rows — 2.3x the unsorted XLA scatter on v5e)."""
+    from graphqembed_tpu.ops.grads import take_rows
+    rows = take_rows(table, ids)
     if rows.dtype != jnp.float32:
         rows = rows.astype(jnp.float32)
     return l2_normalize(rows)
@@ -225,13 +228,33 @@ def _gathered_matmul(cfg: GQEConfig, x: jnp.ndarray, ids: jnp.ndarray,
     (experiments/perf_probe.py). Falls back to the per-row gather + batched
     einsum when the operator stack is large (R > d), where materializing
     [B, R, e] would cost more than the gather."""
+    from graphqembed_tpu.ops.grads import select_dim
     prec = _precision(cfg)
     r = M.shape[0]
     if r <= x.shape[-1]:
         t = jnp.einsum("bd,rde->bre", x, M,
                        preferred_element_type=jnp.float32, precision=prec)
-        return jnp.take_along_axis(t, ids[:, None, None], axis=1)[:, 0]
+        return select_dim(t, ids)  # onehot-multiply backward, no scatter
     return jnp.einsum("bd,bde->be", x, M[ids],
+                      preferred_element_type=jnp.float32, precision=prec)
+
+
+def _gathered_matmul_stacked(cfg: GQEConfig, x: jnp.ndarray, ids: jnp.ndarray,
+                             M: jnp.ndarray) -> jnp.ndarray:
+    """y[b,k] = x[b,k] @ M[ids[b,k]] for x [B,K,d], ids [B,K] — the K-branch
+    fold of _gathered_matmul: ONE einsum + ONE select for all K branches
+    instead of K of each. The kernel COUNT, not the bytes, was measured as
+    the fwd/bwd wall of the dense step (docs/DESIGN.md §11 addendum 2), so
+    per-branch ops are folded into the batch dimension wherever the DAG
+    allows."""
+    from graphqembed_tpu.ops.grads import select_dim
+    prec = _precision(cfg)
+    r = M.shape[0]
+    if r <= x.shape[-1]:
+        t = jnp.einsum("bkd,rde->bkre", x, M,
+                       preferred_element_type=jnp.float32, precision=prec)
+        return select_dim(t, ids)  # onehot-multiply backward, no scatter
+    return jnp.einsum("bkd,bkde->bke", x, M[ids],
                       preferred_element_type=jnp.float32, precision=prec)
 
 
@@ -244,6 +267,35 @@ def project_rows(cfg: GQEConfig, params: Params, x: jnp.ndarray,
     if cfg.projection == "distmult":
         return x * p["w"][rel_ids]
     return _gathered_matmul(cfg, x, rel_ids, p["W"])
+
+
+def project_rows_stacked(cfg: GQEConfig, params: Params, x: jnp.ndarray,
+                         rel_ids: jnp.ndarray) -> jnp.ndarray:
+    """x [B, K, d]; rel_ids [B, K] -> [B, K, d]: K branch projections as one
+    gathered matmul (see _gathered_matmul_stacked)."""
+    p = params["proj"]
+    if cfg.projection == "transe":
+        return x + p["r"][rel_ids]
+    if cfg.projection == "distmult":
+        return x * p["w"][rel_ids]
+    return _gathered_matmul_stacked(cfg, x, rel_ids, p["W"])
+
+
+def intersect_rows_stacked(cfg: GQEConfig, params: Params, z: jnp.ndarray,
+                           mode_ids: jnp.ndarray) -> jnp.ndarray:
+    """z [B, K, d]; mode_ids [B] -> [B, d]: deep-set intersection with the
+    per-branch pre-transform folded into one gathered matmul."""
+    if cfg.learned_intersection:
+        ids = jnp.broadcast_to(mode_ids[:, None], z.shape[:2])
+        h = jax.nn.relu(_gathered_matmul_stacked(cfg, z, ids,
+                                                 params["inter"]["pre"]))
+    else:
+        h = z
+    agg = (jnp.min(h, axis=1) if cfg.intersection == "min"
+           else jnp.mean(h, axis=1))
+    if cfg.learned_intersection:
+        return _gathered_matmul(cfg, agg, mode_ids, params["inter"]["post"])
+    return agg
 
 
 def intersect_rows(cfg: GQEConfig, params: Params, zs: list[jnp.ndarray],
@@ -263,16 +315,19 @@ def intersect_rows(cfg: GQEConfig, params: Params, zs: list[jnp.ndarray],
     return agg
 
 
-def embed_query_rows(cfg: GQEConfig, params: Params, structure: str,
-                     anchors: jnp.ndarray, rels: jnp.ndarray,
-                     inter_modes: jnp.ndarray, encode_fn=None) -> jnp.ndarray:
-    """Mixed-formula query embedding: anchors [B, A], rels [B, R],
-    inter_modes [B] -> [B, d]. encode_fn overrides the node encoder (depth>0
-    SAGE via models/encoders.py::make_deep_encoder), as in embed_query."""
-    enc = encode_fn or (lambda ids: encode(params["table"], ids))
-    e = lambda i: enc(anchors[:, i])
+def embed_query_folded(cfg: GQEConfig, params: Params, structure: str,
+                       E: jnp.ndarray, rels: jnp.ndarray,
+                       inter_modes: jnp.ndarray) -> jnp.ndarray:
+    """Query embedding from pre-encoded anchor embeddings E [B, A, d] with the
+    per-branch hops FOLDED into the batch dimension: each intersection
+    structure's parallel branches run as ONE stacked gathered-matmul instead
+    of one per branch (the kernel-count lever — docs/DESIGN.md §11 addendum
+    2; same math as the branch-at-a-time path, pinned by the oracle parity
+    tests)."""
     P = lambda x, i: project_rows(cfg, params, x, rels[:, i])
-    I = lambda zs: intersect_rows(cfg, params, zs, inter_modes)
+    Ps = lambda x, ids: project_rows_stacked(cfg, params, x, ids)
+    I = lambda z: intersect_rows_stacked(cfg, params, z, inter_modes)
+    e = lambda i: E[:, i]
     if structure == "1p":
         return P(e(0), 0)
     if structure == "2p":
@@ -280,14 +335,31 @@ def embed_query_rows(cfg: GQEConfig, params: Params, structure: str,
     if structure == "3p":
         return P(P(P(e(0), 0), 1), 2)
     if structure == "2i":
-        return I([P(e(0), 0), P(e(1), 1)])
+        return I(Ps(E[:, :2], rels[:, :2]))
     if structure == "3i":
-        return I([P(e(0), 0), P(e(1), 1), P(e(2), 2)])
+        return I(Ps(E[:, :3], rels[:, :3]))
     if structure == "pi":
-        return I([P(P(e(0), 0), 1), P(e(1), 2)])
+        # hop 1 of both branches folded: chain's first hop + the edge branch
+        z1 = Ps(E[:, :2], jnp.stack([rels[:, 0], rels[:, 2]], axis=1))
+        chain = P(z1[:, 0], 1)
+        return I(jnp.stack([chain, z1[:, 1]], axis=1))
     if structure == "ip":
-        return P(I([P(e(0), 0), P(e(1), 1)]), 2)
+        v = I(Ps(E[:, :2], rels[:, :2]))
+        return P(v, 2)
     raise ValueError(structure)
+
+
+def embed_query_rows(cfg: GQEConfig, params: Params, structure: str,
+                     anchors: jnp.ndarray, rels: jnp.ndarray,
+                     inter_modes: jnp.ndarray, encode_fn=None) -> jnp.ndarray:
+    """Mixed-formula query embedding: anchors [B, A], rels [B, R],
+    inter_modes [B] -> [B, d]. encode_fn overrides the node encoder (depth>0
+    SAGE via models/encoders.py::make_deep_encoder), as in embed_query.
+    All A anchors are encoded in ONE call (one table gather / one SAGE pass)
+    and branches are folded (embed_query_folded)."""
+    enc = encode_fn or (lambda ids: encode(params["table"], ids))
+    E = enc(anchors)  # [B, A, d]
+    return embed_query_folded(cfg, params, structure, E, rels, inter_modes)
 
 
 def embed_query_from_rows(cfg: GQEConfig, params: Params, structure: str,
@@ -296,24 +368,8 @@ def embed_query_from_rows(cfg: GQEConfig, params: Params, structure: str,
     """Like embed_query_rows but anchors arrive as pre-gathered RAW table rows
     [B, A, d] (normalized here) — used by the sparse-table-update train step,
     where gradients flow to the gathered rows instead of the full table."""
-    e = lambda i: l2_normalize(anchor_rows[:, i].astype(jnp.float32))
-    P = lambda x, i: project_rows(cfg, params, x, rels[:, i])
-    I = lambda zs: intersect_rows(cfg, params, zs, inter_modes)
-    if structure == "1p":
-        return P(e(0), 0)
-    if structure == "2p":
-        return P(P(e(0), 0), 1)
-    if structure == "3p":
-        return P(P(P(e(0), 0), 1), 2)
-    if structure == "2i":
-        return I([P(e(0), 0), P(e(1), 1)])
-    if structure == "3i":
-        return I([P(e(0), 0), P(e(1), 1), P(e(2), 2)])
-    if structure == "pi":
-        return I([P(P(e(0), 0), 1), P(e(1), 2)])
-    if structure == "ip":
-        return P(I([P(e(0), 0), P(e(1), 1)]), 2)
-    raise ValueError(structure)
+    E = l2_normalize(anchor_rows.astype(jnp.float32))
+    return embed_query_folded(cfg, params, structure, E, rels, inter_modes)
 
 
 def margin_loss_from_rows(cfg: GQEConfig, params: Params, structure: str,
@@ -322,12 +378,11 @@ def margin_loss_from_rows(cfg: GQEConfig, params: Params, structure: str,
     """rows [B, A+2, d]: raw gathered table rows — A anchors, then target,
     then negative. Differentiable w.r.t. rows AND params (operator weights)."""
     a = rows.shape[1] - 2
-    q = embed_query_from_rows(cfg, params, structure, rows[:, :a], rels,
-                              inter_modes)
-    pos = score(q, l2_normalize(rows[:, a].astype(jnp.float32)), cfg.scoring)
-    neg = score(q, l2_normalize(rows[:, a + 1].astype(jnp.float32)),
-                cfg.scoring)
-    return jnp.mean(jax.nn.relu(cfg.margin - pos + neg))
+    normed = l2_normalize(rows.astype(jnp.float32))  # anchors+target+neg once
+    q = embed_query_folded(cfg, params, structure, normed[:, :a], rels,
+                           inter_modes)
+    pn = score(q, normed[:, a:], cfg.scoring)  # [B, 2]: pos, neg in one einsum
+    return jnp.mean(jax.nn.relu(cfg.margin - pn[:, 0] + pn[:, 1]))
 
 
 def margin_loss_rows_onegather(cfg: GQEConfig, params: Params, structure: str,
@@ -346,15 +401,15 @@ def margin_loss_rows_onegather(cfg: GQEConfig, params: Params, structure: str,
     (docs/DESIGN.md §10 update). Gathering all ids in one take keeps the
     backward to a single dense scatter. The scan train steps use this path
     when no custom encoder is active."""
+    from graphqembed_tpu.ops.grads import take_rows
     ids = jnp.concatenate([anchors, targets[:, None], negs[:, None]], axis=1)
-    rows = jnp.take(params["table"], ids, axis=0)       # [B, A+2, d]
+    rows = take_rows(params["table"], ids)              # [B, A+2, d]
     a = anchors.shape[1]
-    q = embed_query_from_rows(cfg, params, structure, rows[:, :a], rels,
-                              inter_modes)
-    pos = score(q, l2_normalize(rows[:, a].astype(jnp.float32)), cfg.scoring)
-    neg = score(q, l2_normalize(rows[:, a + 1].astype(jnp.float32)),
-                cfg.scoring)
-    per_row = jax.nn.relu(cfg.margin - pos + neg)
+    normed = l2_normalize(rows.astype(jnp.float32))     # all A+2 rows at once
+    q = embed_query_folded(cfg, params, structure, normed[:, :a], rels,
+                           inter_modes)
+    pn = score(q, normed[:, a:], cfg.scoring)  # [B, 2]: pos, neg in one einsum
+    per_row = jax.nn.relu(cfg.margin - pn[:, 0] + pn[:, 1])
     w = row_mask.astype(per_row.dtype)
     return jnp.sum(per_row * w) / jnp.maximum(jnp.sum(w), 1.0)
 

@@ -138,7 +138,10 @@ def make_sharded_scan_train_step(cfg: GQEConfig, optimizer, mesh,
 
     from graphqembed_tpu.parallel.mesh import batch_sharding
 
-    b_sh = batch_sharding(mesh, 1)
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    # [T, B] pre-selected index array: DP split is on the BATCH axis (1)
+    tb_sh = NamedSharding(mesh, PartitionSpec(None, "data"))
     b = cfg.batch_size
 
     @functools.partial(
@@ -149,23 +152,22 @@ def make_sharded_scan_train_step(cfg: GQEConfig, optimizer, mesh,
     def scan_fn(params, opt_state, anchors, rels, inter_modes, targets, negs,
                 neg_counts, hard, hard_counts, tables, structure, key,
                 n_steps, weight, use_hard):
-        n = anchors.shape[0]
+        from graphqembed_tpu.training.device_data import _select_batches
 
-        def body(carry, t):
+        # batch selection hoisted out of the scan body (device_data.py
+        # _select_batches — the kernel-count lever); the [T, B] index array
+        # carries the DP batch split so every per-step slice is DP-sharded.
+        # _hard_step inside honors cfg.hard_neg_frac, matching the
+        # single-device scan for non-default fractions too.
+        batch_xs, _ = _select_batches(
+            cfg, key, n_steps,
+            (anchors, rels, inter_modes, targets, negs, neg_counts, hard,
+             hard_counts), use_hard,
+            idx_constraint=lambda idx: jax.lax.with_sharding_constraint(
+                idx, tb_sh))
+
+        def body(carry, batch):
             params, opt_state = carry
-            k = jax.random.fold_in(key, t)
-            k_idx, k_neg = jax.random.split(k)
-            idx = jax.random.randint(k_idx, (b,), 0, n)
-            idx = jax.lax.with_sharding_constraint(idx, b_sh)  # DP split
-            j = jax.random.randint(k_neg, (b,), 0, 1 << 30)
-            if use_hard:
-                odd = (t % 2) == 1
-                pool = jnp.where(odd, hard[idx], negs[idx])
-                cnt = jnp.where(odd, hard_counts[idx], neg_counts[idx])
-            else:
-                pool = negs[idx]
-                cnt = neg_counts[idx]
-            neg = jnp.take_along_axis(pool, (j % cnt)[:, None], axis=1)[:, 0]
 
             def loss_fn(p):
                 encode_fn = None
@@ -176,8 +178,8 @@ def make_sharded_scan_train_step(cfg: GQEConfig, optimizer, mesh,
                     encode_fn = make_deep_encoder(cfg, p, tables, cfg.depth,
                                                   cfg.aggregator)
                 return weight * gqe.margin_loss_rows(
-                    cfg, p, structure, anchors[idx], rels[idx],
-                    inter_modes[idx], targets[idx], neg,
+                    cfg, p, structure, batch["anchors"], batch["rels"],
+                    batch["inter_modes"], batch["targets"], batch["negs"],
                     jnp.ones(b, jnp.bool_), encode_fn=encode_fn)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -186,7 +188,7 @@ def make_sharded_scan_train_step(cfg: GQEConfig, optimizer, mesh,
             return (params, opt_state), loss
 
         (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), jnp.arange(n_steps))
+            body, (params, opt_state), batch_xs)
         return params, opt_state, jnp.mean(losses)
 
     rep = replicated(mesh)

@@ -164,6 +164,62 @@ def _hard_step(cfg: GQEConfig, t):
     return (t % 8) < k
 
 
+def _select_batches(cfg: GQEConfig, key, n_steps, arrays, use_hard,
+                    n_keys: int = 2, idx_constraint=None):
+    """All n_steps batches selected OUTSIDE the scan body, in a handful of
+    big kernels instead of ~10 tiny ones per step.
+
+    Bitwise-identical to the former per-step derivation: step t's key is
+    fold_in(key, t), a pure function of (key, t), so vmapping the whole
+    selection over t ∈ [0, n_steps) reproduces the exact idx / negative
+    draws the per-step code produced (pinned by
+    test_mega_step_matches_sequential, which compares against per-dispatch
+    sequences built the old way). This is half of the round-4 kernel-count
+    lever (docs/DESIGN.md §11 addendum 2): per scan step the body's data
+    dependencies shrink to slices of the pre-gathered [T, B, ...] arrays.
+
+    n_keys=3 additionally returns the per-step k_opt stream used by the
+    sparse path (split(k, 3) ≠ split(k) — the streams must match the old
+    per-step code exactly). idx_constraint optionally re-shards the [T, B]
+    index array (DP batch split in the GSPMD scan).
+
+    Returns (batch_xs dict with [T, B, ...] leaves, k_opt or None)."""
+    anchors, rels, inter_modes, targets, negs, neg_counts, hard, \
+        hard_counts = arrays
+    n = anchors.shape[0]
+    b = cfg.batch_size
+    ts = jnp.arange(n_steps)
+
+    def per_step(t):
+        k = jax.random.fold_in(key, t)
+        if n_keys == 3:
+            k_idx, k_neg, k_opt = jax.random.split(k, 3)
+        else:
+            k_idx, k_neg = jax.random.split(k)
+            k_opt = k
+        idx = jax.random.randint(k_idx, (b,), 0, n)
+        j = jax.random.randint(k_neg, (b,), 0, 1 << 30)
+        return idx, j, k_opt
+
+    idx, j, k_opt = jax.vmap(per_step)(ts)        # [T, B]
+    if idx_constraint is not None:
+        idx = idx_constraint(idx)
+    flat = idx.reshape(-1)
+    sel = lambda a: a[flat].reshape((n_steps, b) + a.shape[1:])
+    if use_hard:
+        odd = jax.vmap(lambda t: _hard_step(cfg, t))(ts)   # [T] bool
+        pool = jnp.where(odd[:, None, None], sel(hard), sel(negs))
+        cnt = jnp.where(odd[:, None], sel(hard_counts), sel(neg_counts))
+    else:
+        pool = sel(negs)
+        cnt = sel(neg_counts)
+    neg = jnp.take_along_axis(pool, (j % cnt)[..., None], axis=2)[..., 0]
+    batch_xs = {"anchors": sel(anchors), "rels": sel(rels),
+                "inter_modes": sel(inter_modes), "targets": sel(targets),
+                "negs": neg}
+    return batch_xs, (k_opt if n_keys == 3 else None)
+
+
 class FusedAdamOpt:
     """Optimizer shim for the scan drivers backed by ops/fused_adam.py: the
     whole Adam update is ONE aliased HBM pass per leaf per step, and bfloat16
@@ -242,23 +298,14 @@ def make_scan_train_step(cfg: GQEConfig, optimizer, neighbor_tables=None):
     def scan_fn(params, opt_state, anchors, rels, inter_modes, targets, negs,
                 neg_counts, hard, hard_counts, tables, structure, key,
                 n_steps, weight, use_hard):
-        n = anchors.shape[0]
         b = cfg.batch_size
+        batch_xs, _ = _select_batches(
+            cfg, key, n_steps,
+            (anchors, rels, inter_modes, targets, negs, neg_counts, hard,
+             hard_counts), use_hard)
 
-        def body(carry, t):
+        def body(carry, batch):
             params, opt_state = carry
-            k = jax.random.fold_in(key, t)
-            k_idx, k_neg = jax.random.split(k)
-            idx = jax.random.randint(k_idx, (b,), 0, n)
-            j = jax.random.randint(k_neg, (b,), 0, 1 << 30)
-            if use_hard:
-                odd = _hard_step(cfg, t)
-                pool = jnp.where(odd, hard[idx], negs[idx])
-                cnt = jnp.where(odd, hard_counts[idx], neg_counts[idx])
-            else:
-                pool = negs[idx]
-                cnt = neg_counts[idx]
-            neg = jnp.take_along_axis(pool, (j % cnt)[:, None], axis=1)[:, 0]
 
             def loss_fn(p):
                 encode_fn = None
@@ -272,12 +319,12 @@ def make_scan_train_step(cfg: GQEConfig, optimizer, neighbor_tables=None):
                     # one fused gather -> one dense scatter in backward
                     # (gqe.margin_loss_rows_onegather docstring)
                     return weight * gqe.margin_loss_rows_onegather(
-                        cfg, p, structure, anchors[idx], rels[idx],
-                        inter_modes[idx], targets[idx], neg,
+                        cfg, p, structure, batch["anchors"], batch["rels"],
+                        batch["inter_modes"], batch["targets"], batch["negs"],
                         jnp.ones(b, jnp.bool_))
                 return weight * gqe.margin_loss_rows(
-                    cfg, p, structure, anchors[idx], rels[idx],
-                    inter_modes[idx], targets[idx], neg,
+                    cfg, p, structure, batch["anchors"], batch["rels"],
+                    batch["inter_modes"], batch["targets"], batch["negs"],
                     jnp.ones(b, jnp.bool_), encode_fn=encode_fn)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -286,7 +333,7 @@ def make_scan_train_step(cfg: GQEConfig, optimizer, neighbor_tables=None):
             return (params, opt_state), loss
 
         (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), jnp.arange(n_steps))
+            body, (params, opt_state), batch_xs)
         return params, opt_state, jnp.mean(losses)
 
     def run(params, opt_state, pool: DevicePool, structure: str, key,
@@ -316,28 +363,19 @@ def make_scan_train_step_fused(cfg: GQEConfig):
     def scan_fn(params, mu, nu, count, anchors, rels, inter_modes, targets,
                 negs, neg_counts, hard, hard_counts, structure, key, n_steps,
                 weight, use_hard):
-        n = anchors.shape[0]
         b = cfg.batch_size
+        batch_xs, _ = _select_batches(
+            cfg, key, n_steps,
+            (anchors, rels, inter_modes, targets, negs, neg_counts, hard,
+             hard_counts), use_hard)
 
-        def body(carry, t):
+        def body(carry, batch):
             params, mu, nu, count = carry
-            k = jax.random.fold_in(key, t)
-            k_idx, k_neg = jax.random.split(k)
-            idx = jax.random.randint(k_idx, (b,), 0, n)
-            j = jax.random.randint(k_neg, (b,), 0, 1 << 30)
-            if use_hard:
-                odd = _hard_step(cfg, t)
-                pool = jnp.where(odd, hard[idx], negs[idx])
-                cnt = jnp.where(odd, hard_counts[idx], neg_counts[idx])
-            else:
-                pool = negs[idx]
-                cnt = neg_counts[idx]
-            neg = jnp.take_along_axis(pool, (j % cnt)[:, None], axis=1)[:, 0]
 
             def loss_fn(p):
                 return weight * gqe.margin_loss_rows_onegather(
-                    cfg, p, structure, anchors[idx], rels[idx],
-                    inter_modes[idx], targets[idx], neg,
+                    cfg, p, structure, batch["anchors"], batch["rels"],
+                    batch["inter_modes"], batch["targets"], batch["negs"],
                     jnp.ones(b, jnp.bool_))
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -347,7 +385,7 @@ def make_scan_train_step_fused(cfg: GQEConfig):
             return (params, mu, nu, count), loss
 
         (params, mu, nu, count), losses = jax.lax.scan(
-            body, (params, mu, nu, count), jnp.arange(n_steps))
+            body, (params, mu, nu, count), batch_xs)
         return params, mu, nu, count, jnp.mean(losses)
 
     def run(params, mu, nu, count, pool: DevicePool, structure: str, key,
@@ -377,30 +415,24 @@ def make_scan_train_step_sparse(cfg: GQEConfig, small_optimizer):
     def scan_fn(small_params, table, table_state, opt_state, anchors, rels,
                 inter_modes, targets, negs, neg_counts, hard, hard_counts,
                 structure, key, n_steps, weight, use_hard):
-        n = anchors.shape[0]
-        b = cfg.batch_size
+        batch_xs, k_opts = _select_batches(
+            cfg, key, n_steps,
+            (anchors, rels, inter_modes, targets, negs, neg_counts, hard,
+             hard_counts), use_hard, n_keys=3)
+        batch_xs["k_opt"] = k_opts
 
-        def body(carry, t):
+        def body(carry, batch):
             small_params, table, table_state, opt_state = carry
-            k = jax.random.fold_in(key, t)
-            k_idx, k_neg, k_opt = jax.random.split(k, 3)
-            idx = jax.random.randint(k_idx, (b,), 0, n)
-            j = jax.random.randint(k_neg, (b,), 0, 1 << 30)
-            if use_hard:
-                odd = _hard_step(cfg, t)
-                npool = jnp.where(odd, hard[idx], negs[idx])
-                cnt = jnp.where(odd, hard_counts[idx], neg_counts[idx])
-            else:
-                npool = negs[idx]
-                cnt = neg_counts[idx]
-            neg = jnp.take_along_axis(npool, (j % cnt)[:, None], axis=1)[:, 0]
+            k_opt = batch["k_opt"]
             ids = jnp.concatenate(
-                [anchors[idx], targets[idx][:, None], neg[:, None]], axis=1)
+                [batch["anchors"], batch["targets"][:, None],
+                 batch["negs"][:, None]], axis=1)
             rows = table[ids]  # [B, A+2, d] — grads stay row-sparse
 
             def loss_fn(rows, sp):
                 return weight * gqe.margin_loss_from_rows(
-                    cfg, sp, structure, rows, rels[idx], inter_modes[idx])
+                    cfg, sp, structure, rows, batch["rels"],
+                    batch["inter_modes"])
 
             loss, (g_rows, g_small) = jax.value_and_grad(
                 loss_fn, argnums=(0, 1))(rows, small_params)
@@ -413,8 +445,7 @@ def make_scan_train_step_sparse(cfg: GQEConfig, small_optimizer):
             return (small_params, table, table_state, opt_state), loss
 
         carry, losses = jax.lax.scan(
-            body, (small_params, table, table_state, opt_state),
-            jnp.arange(n_steps))
+            body, (small_params, table, table_state, opt_state), batch_xs)
         small_params, table, table_state, opt_state = carry
         return small_params, table, table_state, opt_state, jnp.mean(losses)
 
@@ -466,24 +497,10 @@ def make_multitask_mega_step(cfg: GQEConfig, optimizer,
 
     def one_structure(params, opt_state, key_s, arrays, tables, structure,
                       weight, use_hard, steps_per):
-        anchors, rels, inter_modes, targets, negs, neg_counts, hard, \
-            hard_counts = arrays
-        n = anchors.shape[0]
+        batch_xs, _ = _select_batches(cfg, key_s, steps_per, arrays, use_hard)
 
-        def body(carry, t):
+        def body(carry, batch):
             params, opt_state = carry
-            k = jax.random.fold_in(key_s, t)
-            k_idx, k_neg = jax.random.split(k)
-            idx = jax.random.randint(k_idx, (b,), 0, n)
-            j = jax.random.randint(k_neg, (b,), 0, 1 << 30)
-            if use_hard:
-                odd = _hard_step(cfg, t)
-                pool = jnp.where(odd, hard[idx], negs[idx])
-                cnt = jnp.where(odd, hard_counts[idx], neg_counts[idx])
-            else:
-                pool = negs[idx]
-                cnt = neg_counts[idx]
-            neg = jnp.take_along_axis(pool, (j % cnt)[:, None], axis=1)[:, 0]
 
             def loss_fn(p):
                 encode_fn = None
@@ -497,12 +514,12 @@ def make_multitask_mega_step(cfg: GQEConfig, optimizer,
                     # one fused gather -> one dense scatter in backward
                     # (gqe.margin_loss_rows_onegather docstring)
                     return weight * gqe.margin_loss_rows_onegather(
-                        cfg, p, structure, anchors[idx], rels[idx],
-                        inter_modes[idx], targets[idx], neg,
+                        cfg, p, structure, batch["anchors"], batch["rels"],
+                        batch["inter_modes"], batch["targets"], batch["negs"],
                         jnp.ones(b, jnp.bool_))
                 return weight * gqe.margin_loss_rows(
-                    cfg, p, structure, anchors[idx], rels[idx],
-                    inter_modes[idx], targets[idx], neg,
+                    cfg, p, structure, batch["anchors"], batch["rels"],
+                    batch["inter_modes"], batch["targets"], batch["negs"],
                     jnp.ones(b, jnp.bool_), encode_fn=encode_fn)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -511,7 +528,7 @@ def make_multitask_mega_step(cfg: GQEConfig, optimizer,
             return (params, opt_state), loss
 
         (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), jnp.arange(steps_per))
+            body, (params, opt_state), batch_xs)
         return params, opt_state, jnp.mean(losses)
 
     @functools.partial(
