@@ -203,10 +203,12 @@ def _variants(cfg):
 
     bf16 = dataclasses.replace(cfg, compute_dtype="bfloat16",
                                storage_dtype="bfloat16")
+    bf16c = dataclasses.replace(cfg, compute_dtype="bfloat16")
     return [
         ("fp32-dense", cfg, False),
         ("fp32-sparse", cfg, True),
         ("bf16-dense-fused", bf16, False),
+        ("bf16-compute-only", bf16c, False),
         ("bf16-sparse", bf16, True),
     ]
 

@@ -139,11 +139,11 @@ def main(argv=None):
     if args.bf16:
         args.compute_dtype = args.storage_dtype = "bfloat16"
     if args.storage_dtype != "float32" and args.pipeline not in (
-            "device", "onthefly"):
+            "device", "onthefly", "stream"):
         raise SystemExit(
             "--storage_dtype bfloat16 needs the stochastic-rounding fused "
-            "Adam, wired into --pipeline device or onthefly (host/stream "
-            "use plain optax Adam; see FusedAdamOpt docstring)")
+            "Adam, wired into --pipeline device, stream or onthefly (host "
+            "uses plain optax Adam; see FusedAdamOpt docstring)")
     if args.cpu:
         import os
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -230,7 +230,8 @@ def main(argv=None):
         steps_per = dispatch_steps_per(args.max_iter)
         res = run_train_onthefly(
             cfg, graph.schema, params, dg, val_queries=val,
-            steps_per=steps_per,
+            steps_per=steps_per, ckpt_manager=mgr,
+            ckpt_every=args.ckpt_every, resume=args.resume,
             log=lambda step, s, l: (
                 logging.info("step %d [%s] loss %.4f", step, s, l),
                 writer.write(step, **{f"loss/{s}": l}))[0])

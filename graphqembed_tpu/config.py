@@ -73,6 +73,19 @@ class GQEConfig:
     eval_batch_size: int = 1024
     max_eval_negs: int = 512         # padding cap for full_neg APR eval
 
+    # --- stream pipeline (data/grain_pipeline.py windowed HBM staging) ---
+    # Records per structure staged into each HBM window (clamped to the
+    # dataset size). Bigger windows = better shuffle locality + fewer
+    # host/device round trips, more HBM.
+    stream_window: int = 65536
+    # Train steps per window = reuse * (window records / batch_size): how
+    # many times each staged record is expected to be consumed before the
+    # window is swapped. >1 trades strict single-visit streaming for
+    # throughput when the host stream is slower than the chip (the usual
+    # beyond-RAM case); the grain iterator still advances exactly once per
+    # staged record, so resume stays exactly-once.
+    stream_reuse: float = 4.0
+
     # --- parallel (SURVEY.md §3 parallelism inventory) ---
     mesh_shape: tuple[int, ...] = (1,)
     mesh_axes: tuple[str, ...] = ("data",)
@@ -89,9 +102,17 @@ class GQEConfig:
     # Gates ONLY the per-formula intersect() path (models/gqe.py::intersect);
     # the production rows paths and device pipelines use XLA fusion, which the
     # speed-of-light audit (docs/DESIGN.md §3) found at-roofline for these
-    # shapes. The fused Adam kernel is selected separately
-    # (make_scan_train_step_fused), not by this flag.
+    # shapes. The fused Adam kernel is selected by the optimizer
+    # (FusedAdamOpt), not by this flag.
     use_pallas: bool = False
+    # Opt-in: update the bf16 table from ROW gradients via the sparse-grad
+    # dense-Adam SR kernel (ops/fused_adam.py::fused_adam_table_sorted_rows_sr)
+    # instead of materializing the [N, d] cotangent. Measured on v5e at
+    # N=35k/B=512/3i it LOSES to the dense sorted-scatter path (~99 µs
+    # kernel + ~38 µs presort vs ~63 µs scatter chain + 51 µs dense kernel
+    # in-context — docs/DESIGN.md §12), so it is off by default; kept as a
+    # capability for regimes where the dense sweep dominates (very large N).
+    rows_grad_update: bool = False
 
     def __post_init__(self):
         assert self.projection in PROJECTION_KINDS, self.projection

@@ -122,44 +122,118 @@ def make_query_loader(path: str | Path, schema, structure: str,
     )
 
 
+class StreamWindow:
+    """One structure's staged HBM window: DevicePool-shaped device arrays
+    (training/device_data.py scan drivers consume it directly)."""
+
+    def __init__(self, structure: str, arrays: dict):
+        import jax.numpy as jnp
+
+        self.structure = structure
+        self.n = len(arrays["targets"])
+        dev = jnp.asarray
+        self.anchors = dev(arrays["anchors"])
+        self.rels = dev(arrays["rels"])
+        self.inter_modes = dev(arrays["inter_modes"])
+        self.targets = dev(arrays["targets"])
+        self.negs = dev(arrays["negs"])
+        self.neg_counts = dev(arrays["neg_counts"])
+        self.hard = dev(arrays["hard"])
+        self.hard_counts = dev(arrays["hard_counts"])
+
+
+def _window_arrays(batches: list[dict], structure: str, tmode) -> dict:
+    """Stack grain batches into DevicePool-style SoA numpy arrays: -1 pads
+    become (pool, count) pairs the in-scan negative draw consumes."""
+    import numpy as np
+
+    from graphqembed_tpu.config import INTERSECT_STRUCTURES
+
+    cat = lambda k: np.concatenate([b[k] for b in batches])
+    anchors = cat("anchors").astype(np.int32)
+    targets = cat("target").astype(np.int32)
+    rels = cat("rels").astype(np.int32)
+    negs = cat("negs").astype(np.int32)
+    hard = cat("hard_negs").astype(np.int32)
+    if structure in INTERSECT_STRUCTURES:
+        col = 0 if structure == "ip" else rels.shape[1] - 1
+        inter_modes = tmode[rels[:, col]].astype(np.int32)
+    else:
+        inter_modes = np.full(len(rels), -1, np.int32)
+
+    def pool(arr, fallback):
+        counts = (arr >= 0).sum(axis=1).astype(np.int32)
+        out = np.where(arr >= 0, arr, fallback[:, None])
+        return out.astype(np.int32), np.maximum(counts, 1)
+
+    # rows with an empty hard pool fall back to their plain pool (same
+    # convention as DevicePool)
+    none = (hard >= 0).sum(axis=1) == 0
+    hard = np.where(none[:, None], negs[:, :hard.shape[1]], hard)
+    negs, neg_counts = pool(negs, targets)
+    hard, hard_counts = pool(hard, targets)
+    return dict(anchors=anchors, rels=rels, inter_modes=inter_modes,
+                targets=targets, negs=negs, neg_counts=neg_counts,
+                hard=hard, hard_counts=hard_counts)
+
+
 def run_train_stream(cfg, schema, params, data_dir, val_queries=None,
                      total_steps: int | None = None,
                      burn_in_steps: int | None = None, seed: int | None = None,
                      worker_count: int = 0, log=None,
                      ckpt_manager=None, ckpt_every: int = 0,
-                     resume: bool = False):
-    """Beyond-RAM host training: the §2.5 protocol (burn-in → weighted
-    multitask, hard-neg alternation, convergence, best-val) streaming batches
-    from on-disk npz query shards via grain instead of holding queries in
-    RAM (TrainData) or HBM (DeviceTrainData). Batches are mixed-formula, so
-    steps run the per-row model path (gqe.margin_loss_rows).
+                     resume: bool = False, steps_per: int = 50,
+                     optimizer=None):
+    """Beyond-RAM training with WINDOWED HBM STAGING: grain streams on-disk
+    npz query shards into fixed-size per-structure device windows
+    (cfg.stream_window records each), the scan mega-step
+    (training/device_data.py::make_scan_train_step) trains `steps_per` steps
+    per dispatch on the CURRENT windows, and a host thread assembles +
+    uploads the NEXT windows in parallel — so the chip never waits on
+    per-batch host work. This replaced the one-jitted-step-per-batch stream
+    (~3 orders of magnitude slower through a tunneled chip: every step paid
+    a host sync).
 
-    Checkpoint/resume (ckpt_manager + ckpt_every, resume=True restores the
-    latest): saves params/opt_state/best_params via orbax plus — in JSON
-    meta — every piece of host state the stream schedule depends on: the
-    grain iterator state PER STRUCTURE (exactly-once batch consumption:
-    grain replays from the exact record index), the numpy RNG state
-    (structure picks + negative draws), the hard-neg toggle, burn-in
-    counters, and the convergence-window tails. A killed run therefore
-    resumes on the identical batch sequence (pinned by
-    tests/test_fault_injection.py).
+    Schedule semantics: within a window, batch rows are drawn uniformly by
+    the counter-based in-scan selector (a window is a shuffle buffer — each
+    staged record is consumed ~cfg.stream_reuse times before the window
+    swaps); multitask runs in ROUNDS over all structures (steps_per steps
+    each, reference loss weights), and hard negatives alternate per-step
+    inside the scan (_hard_step) — the device mega-step schedule at
+    dispatch granularity. Convergence is checked on per-round mean losses,
+    which are comparable across rounds (every round covers every
+    structure).
+
+    Checkpoint/resume stays exactly-once: meta saves the grain iterator
+    states snapshotted BEFORE the current windows were drawn (so resume
+    re-draws bit-identical windows and the stream position replays exactly),
+    plus the host RNG state, window/dispatch counters, and convergence
+    tails. Pinned by tests/test_grain_pipeline.py::
+    test_run_train_stream_resume_bitwise and the SIGKILL matrix in
+    test_fault_injection.py.
+
+    bf16 storage is supported: pass optimizer=FusedAdamOpt(lr) (or leave
+    None — default_optimizer(cfg) picks it for storage_dtype="bfloat16").
 
     Returns a training/loop.py::TrainResult."""
+    import base64
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
     import jax
-    import jax.numpy as jnp
     import numpy as np
-    import optax
 
     from graphqembed_tpu.config import INTERSECT_STRUCTURES, STRUCTURES
-    from graphqembed_tpu.models import gqe
+    from graphqembed_tpu.training.device_data import (
+        default_optimizer,
+        make_scan_train_step,
+    )
     from graphqembed_tpu.training.eval import eval_auc
     from graphqembed_tpu.training.loop import (
         TrainResult,
         check_conv,
         structure_weight,
     )
-    import functools
-    import time
 
     seed = cfg.seed if seed is None else seed
     total_steps = total_steps if total_steps is not None else cfg.max_iter
@@ -171,137 +245,130 @@ def run_train_stream(cfg, schema, params, data_dir, val_queries=None,
     for e in manifest:
         counts[e["structure"]] = counts.get(e["structure"], 0) + e["count"]
     structures = [s for s in STRUCTURES if counts.get(s)]
+    # window record count per structure: fixed across windows (no retrace)
+    win_n = {s: min(cfg.stream_window,
+                    max(counts[s], cfg.batch_size)) for s in structures}
+    batches_per_win = {s: max(1, -(-win_n[s] // cfg.batch_size))
+                       for s in structures}
     iters = {s: iter(make_query_loader(data_dir, schema, s, cfg.batch_size,
                                        seed=seed, worker_count=worker_count))
              for s in structures}
     tmode = schema.rel_target_mode_ids()
 
-    optimizer = optax.adam(cfg.lr)
+    optimizer = optimizer or default_optimizer(cfg)
     opt_state = optimizer.init(params)
+    scan = make_scan_train_step(cfg, optimizer)
+    master_key = jax.random.key(seed)
 
-    @functools.partial(jax.jit, static_argnames=("structure",),
-                       donate_argnames=("params", "opt_state"))
-    def step(params, opt_state, structure, anchors, rels, modes, targets,
-             negs, weight):
-        def loss_fn(p):
-            return weight * gqe.margin_loss_rows(
-                cfg, p, structure, anchors, rels, modes, targets, negs,
-                jnp.ones(anchors.shape[0], jnp.bool_))
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+    def snapshot_iters() -> dict:
+        return {s: base64.b64encode(it.get_state()).decode()
+                for s, it in iters.items()}
 
-    rng = np.random.default_rng(seed)
+    def build_windows() -> dict:
+        out = {}
+        for s in structures:
+            batches = [next(iters[s]) for _ in range(batches_per_win[s])]
+            out[s] = StreamWindow(s, _window_arrays(batches, s, tmode))
+        return out
 
-    def next_batch(structure: str, hard: bool):
-        b = next(iters[structure])
-        rels = b["rels"].astype(np.int32)
-        if structure in INTERSECT_STRUCTURES:
-            col = 0 if structure == "ip" else rels.shape[1] - 1
-            modes = tmode[rels[:, col]].astype(np.int32)
-        else:
-            modes = np.full(len(rels), -1, np.int32)
-        pool = b["hard_negs"] if hard else b["negs"]
-        # one uniform draw per row from the padded (-1) pool
-        width = (pool >= 0).sum(axis=1).clip(min=1)
-        j = rng.integers(0, 1 << 30, size=len(pool))
-        neg = pool[np.arange(len(pool)), j % width]
-        neg = np.where(neg >= 0, neg, b["negs"][:, 0])
-        return (b["anchors"].astype(np.int32), rels, modes,
-                b["target"].astype(np.int32), neg.astype(np.int32))
+    # steps each window serves before swapping: ~stream_reuse consumptions
+    # of every staged record, rounded to dispatch boundaries
+    total_win_records = sum(win_n.values())
+    window_budget = max(steps_per, int(
+        cfg.stream_reuse * total_win_records / cfg.batch_size))
 
-    w = np.array([counts[s] for s in structures], np.float64)
-    p_struct = w / w.sum()
     losses: dict[str, list[float]] = {s: [] for s in structures}
     burn_series: list[float] = []
     multi_series: list[float] = []
     val_history: list[tuple[int, float]] = []
-    # a COPY: params is donated to the first step dispatch, and checkpoints
-    # save best_params before any eval has replaced it
     best_val = -1.0
+    # a COPY: params is donated to the first dispatch, and checkpoints save
+    # best_params before any eval has replaced it
     best_params = jax.tree.map(lambda x: x.copy(), params)
-    hard_toggle = 0
     burn_done = 0
     multitask = "1p" not in iters
     step_i = 0
+    dispatch_i = 0
+    window_done = 0      # steps trained on the current windows
     last_ckpt = 0
+    iter_snapshot = snapshot_iters()  # state BEFORE current windows drawn
+    t_train = 0.0
 
     if resume and ckpt_manager is not None:
         restored = ckpt_manager.restore_latest(
             like={"params": params, "opt_state": opt_state,
                   "best_params": params})
         if restored is not None:
-            import base64
-
             state, meta = restored
             params = state["params"]
             opt_state = state["opt_state"]
             best_params = state["best_params"]
             step_i = last_ckpt = int(meta["step"])
-            hard_toggle = int(meta["hard_toggle"])
+            dispatch_i = int(meta["dispatch_i"])
+            window_done = int(meta["window_done"])
             burn_done = int(meta["burn_done"])
-            multitask = bool(meta["multitask"])
+            multitask = (bool(meta["multitask"])
+                         or burn_done >= burn_in_steps)
             best_val = float(meta["best_val"])
             burn_series = list(meta.get("burn_tail", []))
             multi_series = list(meta.get("multi_tail", []))
-            # restore_latest already rehydrated this into a Generator;
-            # mutate in place (next_batch closes over `rng`)
-            rng.bit_generator.state = meta["rng_state"].bit_generator.state
-            for s, st64 in meta["iter_states"].items():
+            iter_snapshot = dict(meta["iter_states"])
+            for s, st64 in iter_snapshot.items():
                 iters[s].set_state(base64.b64decode(st64))
+
+    # draw the current windows (resume re-draws the identical ones: the
+    # snapshot above restored the pre-draw iterator states)
+    windows = build_windows()
+    ex = ThreadPoolExecutor(1)
+    next_snapshot = snapshot_iters()
+    next_future = ex.submit(build_windows)
 
     def maybe_ckpt():
         nonlocal last_ckpt
         if ckpt_manager is None or not ckpt_every or \
                 step_i - last_ckpt < ckpt_every:
             return
-        import base64
-        import json as _json
-
         ckpt_manager.save_state(
             step_i,
             {"params": params, "opt_state": opt_state,
              "best_params": best_params},
             extra={
-                "hard_toggle": hard_toggle, "burn_done": burn_done,
-                "multitask": multitask, "best_val": best_val,
+                "dispatch_i": dispatch_i, "window_done": window_done,
+                "burn_done": burn_done, "multitask": multitask,
+                "best_val": best_val,
                 "burn_tail": burn_series[-cfg.conv_window:],
                 "multi_tail": multi_series[-cfg.conv_window:],
-                "rng_state": _json.loads(
-                    _json.dumps(rng.bit_generator.state, default=int)),
-                "iter_states": {
-                    s: base64.b64encode(it.get_state()).decode()
-                    for s, it in iters.items()},
+                "iter_states": iter_snapshot,
             })
         last_ckpt = step_i
 
-    t0 = time.perf_counter()
-    while step_i < total_steps:
-        step_i += 1
-        structure = (structures[rng.choice(len(structures), p=p_struct)]
-                     if multitask else "1p")
-        hard = False
-        if structure in INTERSECT_STRUCTURES and cfg.hard_neg_alternate:
-            hard = bool(hard_toggle % 2)
-            hard_toggle += 1
-        anchors, rels, modes, targets, negs = next_batch(structure, hard)
-        params, opt_state, loss = step(
-            params, opt_state, structure, anchors, rels, modes, targets,
-            negs, np.float32(structure_weight(cfg, structure)))
-        loss = float(loss)
+    burn_w = max(1, round(cfg.conv_window / steps_per))
+    multi_w = max(1, round(cfg.conv_window / (len(structures) * steps_per)))
+    eval_every_d = max(1, round(cfg.val_every / steps_per))
+
+    def dispatch_one(structure, params, opt_state, t):
+        nonlocal dispatch_i, step_i, window_done, t_train
+        use_hard = (structure in INTERSECT_STRUCTURES
+                    and cfg.hard_neg_alternate)
+        t0 = time.perf_counter()
+        params, opt_state, mloss = scan(
+            params, opt_state, windows[structure], structure,
+            jax.random.fold_in(master_key, dispatch_i), t,
+            np.float32(structure_weight(cfg, structure)), use_hard)
+        loss = float(mloss)
+        t_train += time.perf_counter() - t0
+        dispatch_i += 1
+        step_i += t
+        window_done += t
         losses[structure].append(loss)
-        if not multitask:
-            burn_done += 1
-            burn_series.append(loss)
-            if (check_conv(burn_series, cfg.conv_window, cfg.tol)
-                    or burn_done >= burn_in_steps):
-                multitask = True
-        else:
-            multi_series.append(loss)
-        if log and step_i % 500 == 0:
-            log(step_i, structure, loss)
-        if val_queries and step_i % cfg.val_every == 0:
+        return params, opt_state, loss
+
+    def after_dispatch(params):
+        nonlocal best_val, best_params
+        if log and dispatch_i % 10 == 0:
+            log(step_i, "stream", multi_series[-1] if multi_series
+                else (burn_series[-1] if burn_series else 0.0))
+        if val_queries and dispatch_i % eval_every_d == 0:
             aucs = eval_auc(cfg, params, schema, val_queries, seed=cfg.seed)
             macro = aucs.get("macro", 0.0)
             val_history.append((step_i, macro))
@@ -309,13 +376,55 @@ def run_train_stream(cfg, schema, params, data_dir, val_queries=None,
                 best_val = macro
                 best_params = jax.tree.map(lambda x: x.copy(), params)
         maybe_ckpt()
-        if multitask and check_conv(multi_series, cfg.conv_window, cfg.tol):
-            break
-    dt = time.perf_counter() - t0
+
+    def maybe_swap():
+        nonlocal windows, iter_snapshot, next_snapshot, next_future, \
+            window_done
+        if window_done >= window_budget:
+            windows = next_future.result()
+            iter_snapshot = next_snapshot
+            next_snapshot = snapshot_iters()
+            next_future = ex.submit(build_windows)
+            window_done = 0
+
+    try:
+        # --- burn-in: 1p only ---
+        while not multitask and step_i < total_steps:
+            maybe_swap()
+            t = max(1, min(steps_per, total_steps - step_i,
+                           burn_in_steps - step_i))
+            params, opt_state, loss = dispatch_one("1p", params, opt_state, t)
+            burn_done += t
+            burn_series.append(loss)
+            # flip BEFORE after_dispatch: the checkpoint it may write must
+            # record the post-boundary phase, or a resume at the burn-in
+            # boundary would replay a bogus extra burn dispatch
+            if (check_conv(burn_series, burn_w, cfg.tol)
+                    or burn_done >= burn_in_steps):
+                multitask = True
+            after_dispatch(params)
+        # --- multitask ROUNDS over all structures (device-mega schedule;
+        # per-round means are comparable, so convergence is meaningful) ---
+        while step_i < total_steps:
+            round_losses = []
+            for structure in structures:
+                if step_i >= total_steps:
+                    break
+                maybe_swap()
+                t = max(1, min(steps_per, total_steps - step_i))
+                params, opt_state, loss = dispatch_one(structure, params,
+                                                       opt_state, t)
+                round_losses.append(loss)
+                after_dispatch(params)
+            multi_series.append(float(np.mean(round_losses)))
+            if check_conv(multi_series, multi_w, cfg.tol):
+                break
+    finally:
+        ex.shutdown(wait=False, cancel_futures=True)
     if best_val < 0:
         best_params = params
     return TrainResult(
         params=params, best_params=best_params, best_val_auc=best_val,
         steps=step_i, burn_in_steps=burn_done, losses=losses,
         val_history=val_history,
-        queries_per_sec=step_i * cfg.batch_size / max(dt, 1e-9))
+        queries_per_sec=step_i * cfg.batch_size / max(t_train, 1e-9))

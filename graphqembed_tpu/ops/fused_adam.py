@@ -166,6 +166,215 @@ def fused_adam_leaf_sr(p: jnp.ndarray, g: jnp.ndarray, mu: jnp.ndarray,
     return p2.reshape(shape), mu2.reshape(shape), nu2.reshape(shape)
 
 
+_ROWS_WINDOW = 256  # sorted-row window width per grad-build matmul
+                    # (measured best of 128/256/512/full on v5e at L=2560)
+
+
+def _adam_kernel_rows_sr(scalars_ref, seed_ref, starts_ref, p_ref, ids_hbm,
+                         rows_hbm, mu_ref, nu_ref, p_out, mu_out, nu_out,
+                         acc_ref, ids_ref, rows_ref, copy_sems):
+    """Sparse-grad dense-Adam with SR writes: the [N, d] gradient is never
+    materialized in HBM. Per tile, the grad block is built IN VMEM from the
+    batch's row-gradients (pre-sorted by row id outside the kernel):
+    windows of W sorted rows are turned into a [W, T] onehot (id == tile row)
+    and accumulated with one MXU matmul onehotᵀ @ rows per window. Untouched
+    rows get g = 0, so the update keeps exact dense-Adam semantics (moments
+    decay everywhere). starts_ref[i] = first sorted row belonging to tile i
+    (searchsorted outside); the window loop handles arbitrary skew (a tile
+    holding the whole batch just runs more windows)."""
+    i = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0], i)
+
+    # The sorted ids/rows arrive in HBM and are DMA'd ONCE into VMEM
+    # scratch that persists across grid steps — a full-array VMEM operand
+    # with a constant index map is re-copied EVERY grid step (measured:
+    # ~48 us/step of redundant traffic at L=2560 x 80 tiles).
+    @pl.when(i == 0)
+    def _():
+        c1 = pltpu.make_async_copy(ids_hbm, ids_ref, copy_sems.at[0])
+        c2 = pltpu.make_async_copy(rows_hbm, rows_ref, copy_sems.at[1])
+        c1.start()
+        c2.start()
+        c1.wait()
+        c2.wait()
+
+    lr = scalars_ref[0]
+    b1 = scalars_ref[1]
+    b2 = scalars_ref[2]
+    eps = scalars_ref[3]
+    c1 = scalars_ref[4]
+    c2 = scalars_ref[5]
+    t_rows = p_ref.shape[0]
+    w = _ROWS_WINDOW
+    start = starts_ref[i]
+    end = starts_ref[i + 1]
+    tile_lo = i * t_rows
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # w-ALIGNED windows covering [start, end): Mosaic requires vector loads
+    # at sublane-aligned offsets, and rows spilling in from neighboring
+    # tiles are harmless — their ids fall outside [tile_lo, tile_lo+T) so
+    # the onehot match rejects them (as it does the sentinel id n in the
+    # padding). STATIC unroll with predicated windows instead of a dynamic
+    # fori_loop — a data-dependent trip count blocks Mosaic's cross-grid-
+    # step software pipelining; @pl.when windows that don't apply cost a
+    # branch, nothing more. Worst-case skew (the whole batch in one tile)
+    # is exactly the last unrolled window.
+    w0 = start // w
+    w1 = pl.cdiv(end, w)
+    max_win = pl.cdiv(rows_ref.shape[0], w)
+
+    for k in range(max_win):
+        @pl.when(jnp.logical_and(w0 + k < w1, True))
+        def _():
+            ws = pl.multiple_of((w0 + k) * w, w)
+            ids_win = ids_ref[pl.ds(ws, w), :]                # [W, 1] int32
+            local = ids_win - tile_lo
+            tt = jax.lax.broadcasted_iota(jnp.int32, (w, t_rows), 1)
+            oh = (local == tt).astype(jnp.bfloat16)           # [W, T]
+            rows_win = rows_ref[pl.ds(ws, w), :]              # [W, d] bf16
+            acc_ref[:] += jax.lax.dot_general(
+                oh, rows_win, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)           # [T, d]
+
+    g = acc_ref[:]
+    mu = b1 * mu_ref[:].astype(jnp.float32) + (1.0 - b1) * g
+    nu = b2 * nu_ref[:].astype(jnp.float32) + (1.0 - b2) * (g * g)
+    p = p_ref[:].astype(jnp.float32) - lr * (mu * c1) / (jnp.sqrt(nu * c2) + eps)
+
+    def sr(x):
+        bits = pltpu.bitcast(pltpu.prng_random_bits(x.shape), jnp.uint32)
+        return pltpu.stochastic_round(x, bits, target_dtype=jnp.bfloat16)
+
+    mu_out[:] = sr(mu)
+    nu_out[:] = sr(nu)
+    p_out[:] = sr(p)
+
+
+def rows_pad(length: int) -> int:
+    """Padded sorted-row count for fused_adam_table_sorted_rows_sr: any
+    w-aligned window read [ws, ws+W) must stay in bounds."""
+    w = _ROWS_WINDOW
+    return length + w + (-length) % w
+
+
+def presort_row_ids(ids: jnp.ndarray, n: int) -> tuple:
+    """Sort + pad row ids for the sorted-rows Adam kernel; batchable (the
+    hoisted selection sorts ALL T steps' ids in one call — an in-scan sort
+    costs ~40 µs/step on v5e, amortized it is ~1 µs).
+
+    ids [..., L] int32 -> (sorted_ids [..., Lpad], order [..., Lpad],
+    tile_starts [..., n_tiles+1]). Padding entries have sentinel id n (never
+    matches a tile row) and order L (pointing at the caller's appended zero
+    grad row)."""
+    l = ids.shape[-1]
+    tile = _pick_tile(n)
+    order = jnp.argsort(ids, axis=-1)
+    sids = jnp.take_along_axis(ids, order, axis=-1)
+    pad = rows_pad(l) - l
+    lead = ids.shape[:-1]
+    sids = jnp.concatenate(
+        [sids, jnp.full(lead + (pad,), n, jnp.int32)], axis=-1)
+    order = jnp.concatenate(
+        [order, jnp.full(lead + (pad,), l, jnp.int32)], axis=-1)
+    bounds = jnp.arange(n // tile + 1, dtype=jnp.int32) * tile
+    flat = sids.reshape((-1, sids.shape[-1]))
+    starts = jax.vmap(lambda s: jnp.searchsorted(s, bounds))(flat)
+    starts = starts.reshape(lead + (bounds.shape[0],)).astype(jnp.int32)
+    return sids, order, starts
+
+
+@functools.partial(jax.jit, static_argnames=("b1", "b2", "eps"))
+def fused_adam_table_rows_sr(p: jnp.ndarray, mu: jnp.ndarray, nu: jnp.ndarray,
+                             ids: jnp.ndarray, row_grads: jnp.ndarray,
+                             count: jnp.ndarray, seed: jnp.ndarray, lr,
+                             b1: float = 0.9, b2: float = 0.999,
+                             eps: float = 1e-8):
+    """Dense-semantics bf16 SR Adam for the [N, d] table from SPARSE row
+    gradients — the round-4 hot-path optimizer (docs/DESIGN.md §12): the
+    dense cotangent (zeros + scatter-add, ~40 µs) and its HBM read inside
+    the Adam pass both disappear. ids [L] int32 (duplicates fine), row_grads
+    [L, d]. Sorts in-line — prefer presort_row_ids + the _sorted_ variant
+    in scan bodies. TPU only (on-core PRNG); adam_step_rows_sr_ref
+    elsewhere."""
+    n, d = p.shape
+    ids = ids.reshape(-1).astype(jnp.int32)
+    row_grads = row_grads.reshape(ids.shape[0], d)
+    sids, order, starts = presort_row_ids(ids, n)
+    aug = jnp.concatenate(
+        [row_grads.astype(jnp.bfloat16), jnp.zeros((1, d), jnp.bfloat16)])
+    srows = aug[order]
+    return fused_adam_table_sorted_rows_sr(p, mu, nu, sids, srows, starts,
+                                           count, seed, lr, b1, b2, eps)
+
+
+@functools.partial(jax.jit, static_argnames=("b1", "b2", "eps"))
+def fused_adam_table_sorted_rows_sr(p, mu, nu, sorted_ids, sorted_rows,
+                                    tile_starts, count, seed, lr,
+                                    b1: float = 0.9, b2: float = 0.999,
+                                    eps: float = 1e-8):
+    """Core sorted-rows kernel call: sorted_ids [Lpad] (presort_row_ids),
+    sorted_rows [Lpad, d] bf16 (grad rows permuted by `order`, zero row at
+    padding), tile_starts [n_tiles+1]."""
+    assert p.dtype == jnp.bfloat16, p.dtype
+    n, d = p.shape
+    tile = _pick_tile(n)
+    n_tiles = n // tile
+    assert tile_starts.shape[-1] == n_tiles + 1
+    sids = sorted_ids
+    srows = sorted_rows
+    starts = tile_starts
+    tf = count.astype(jnp.float32)
+    scalars = jnp.stack([
+        jnp.float32(lr), jnp.float32(b1), jnp.float32(b2), jnp.float32(eps),
+        1.0 / (1.0 - jnp.float32(b1) ** tf),
+        1.0 / (1.0 - jnp.float32(b2) ** tf),
+    ])
+    seed_arr = jnp.reshape(seed.astype(jnp.int32), (1,))
+    spec = pl.BlockSpec((tile, d), lambda i, *_: (i, 0),
+                        memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    p2, mu2, nu2 = pl.pallas_call(
+        _adam_kernel_rows_sr,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,   # scalars, seed, starts
+            grid=(n_tiles,),
+            in_specs=[spec, hbm, hbm, spec, spec],
+            out_specs=(spec, spec, spec),
+            scratch_shapes=[
+                pltpu.VMEM((tile, d), jnp.float32),
+                pltpu.VMEM((sids.shape[0], 1), jnp.int32),
+                pltpu.VMEM(srows.shape, jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, d), jnp.bfloat16),
+            jax.ShapeDtypeStruct((n, d), jnp.bfloat16),
+            jax.ShapeDtypeStruct((n, d), jnp.bfloat16),
+        ),
+        # p, mu, nu in place (indices count the 3 scalar-prefetch args)
+        input_output_aliases={3: 0, 6: 1, 7: 2},
+    )(scalars, seed_arr, starts, p, sids[:, None], srows, mu, nu)
+    return p2, mu2, nu2
+
+
+def adam_step_rows_sr_ref(p, mu, nu, ids, row_grads, count, lr, key,
+                          b1: float = 0.9, b2: float = 0.999,
+                          eps: float = 1e-8):
+    """Reference for fused_adam_table_rows_sr (CPU/non-TPU backends): dense
+    grad via sorted scatter-add, then the SR Adam reference step."""
+    n, d = p.shape
+    flat_ids = ids.reshape(-1)
+    flat_rows = row_grads.reshape(flat_ids.shape[0], d).astype(jnp.float32)
+    order = jnp.argsort(flat_ids)
+    g = jnp.zeros((n, d), jnp.float32).at[flat_ids[order]].add(
+        flat_rows[order].astype(jnp.bfloat16).astype(jnp.float32),
+        indices_are_sorted=True)
+    return adam_step_sr_ref(p, g, mu, nu, count, lr, key, b1, b2, eps)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("b1", "b2", "eps", "interpret"))
 def fused_adam_leaf(p: jnp.ndarray, g: jnp.ndarray, mu: jnp.ndarray,

@@ -249,6 +249,55 @@ class FusedAdamOpt:
         params, mu, nu = fused_adam_tree(params, grads, mu, nu, count, lr)
         return params, (mu, nu, count)
 
+    def apply_rows(self, params, small_grads, ids, row_grads, state,
+                   presorted=None):
+        """Row-gradient fast path (bf16 table, direct encoder): the table is
+        updated by ops/fused_adam.py's sparse-grad dense-Adam SR kernel —
+        no [N, d] cotangent ever materialized (docs/DESIGN.md §12). Other
+        leaves take the normal fused kernel. small_grads: grads for every
+        leaf EXCEPT 'table'. presorted: optional
+        (sorted_ids, order, tile_starts) from presort_row_ids — the scan
+        drivers precompute it for ALL steps outside the body (an in-scan
+        sort costs ~40 µs/step; amortized it is ~1 µs)."""
+        from graphqembed_tpu.ops.fused_adam import (
+            adam_step_rows_sr_ref,
+            fused_adam_table_rows_sr,
+            fused_adam_table_sorted_rows_sr,
+            fused_adam_tree,
+        )
+        mu, nu, count = state
+        count = count + 1
+        lr = self.lr(count) if callable(self.lr) else jnp.float32(self.lr)
+        small = {k: v for k, v in params.items() if k != "table"}
+        small_mu = {k: v for k, v in mu.items() if k != "table"}
+        small_nu = {k: v for k, v in nu.items() if k != "table"}
+        small, small_mu, small_nu = fused_adam_tree(
+            small, small_grads, small_mu, small_nu, count, lr)
+        d = params["table"].shape[1]
+        if jax.default_backend() == "tpu":
+            seed = count.astype(jnp.int32) * jnp.int32(1000003)
+            if presorted is not None:
+                sids, order, starts = presorted
+                aug = jnp.concatenate(
+                    [row_grads.reshape(-1, d).astype(jnp.bfloat16),
+                     jnp.zeros((1, d), jnp.bfloat16)])
+                t_p, t_mu, t_nu = fused_adam_table_sorted_rows_sr(
+                    params["table"], mu["table"], nu["table"], sids,
+                    aug[order], starts, count, seed, lr)
+            else:
+                t_p, t_mu, t_nu = fused_adam_table_rows_sr(
+                    params["table"], mu["table"], nu["table"], ids,
+                    row_grads, count, seed, lr)
+        else:
+            key = jax.random.fold_in(jax.random.key(1), count)
+            t_p, t_mu, t_nu = adam_step_rows_sr_ref(
+                params["table"], mu["table"], nu["table"], ids, row_grads,
+                count, lr, key)
+        params = dict(small, table=t_p)
+        mu = dict(small_mu, table=t_mu)
+        nu = dict(small_nu, table=t_nu)
+        return params, (mu, nu, count)
+
 
 def _apply_optimizer(optimizer, params, grads, opt_state):
     """One optimizer step for either an optax transformation or FusedAdamOpt
@@ -257,6 +306,96 @@ def _apply_optimizer(optimizer, params, grads, opt_state):
         return optimizer.apply(params, grads, opt_state)
     updates, opt_state = optimizer.update(grads, opt_state, params)
     return optax.apply_updates(params, updates), opt_state
+
+
+def _rows_fast(cfg: GQEConfig, optimizer) -> bool:
+    """Whether the rows-grad update path applies (see _train_body). Opt-in
+    via cfg.rows_grad_update — measured SLOWER than the dense sorted-scatter
+    path at bench scale (config.py flag comment, docs/DESIGN.md §12)."""
+    return (cfg.rows_grad_update and isinstance(optimizer, FusedAdamOpt)
+            and cfg.depth == 0 and cfg.storage_dtype != "float32")
+
+
+def _augment_rows_fast(batch_xs: dict, n_table: int) -> dict:
+    """Attach pre-sorted id metadata for the sorted-rows Adam kernel to the
+    hoisted batches: ONE batched argsort + searchsorted for all T steps
+    (ops/fused_adam.py::presort_row_ids)."""
+    from graphqembed_tpu.ops.fused_adam import presort_row_ids
+
+    ids = jnp.concatenate(
+        [batch_xs["anchors"], batch_xs["targets"][..., None],
+         batch_xs["negs"][..., None]], axis=-1)        # [T, B, A+2]
+    ids2 = ids.reshape(ids.shape[0], -1)
+    sids, order, starts = presort_row_ids(ids2, n_table)
+    return dict(batch_xs, sorted_ids=sids, sort_order=order,
+                tile_starts=starts)
+
+
+def _train_body(cfg: GQEConfig, optimizer, structure, weight, tables):
+    """The per-step scan body shared by make_scan_train_step and the
+    multitask mega-step: carry (params, opt_state), xs = one pre-selected
+    batch (_select_batches). Three formulations, fastest applicable wins:
+
+    1. rows-grad fast path (bf16 table + FusedAdamOpt + direct encoder):
+       differentiate w.r.t. the GATHERED rows and let the sparse-grad
+       dense-Adam SR kernel own the table update — no [N, d] cotangent
+       exists at all (docs/DESIGN.md §12);
+    2. one-gather dense path (direct encoder): one fused table gather, one
+       dense cotangent with a sorted-scatter backward (ops/grads.py);
+    3. the general path (depth>0 SAGE encoder via neighbor tables)."""
+    rows_fast = _rows_fast(cfg, optimizer)
+
+    def body(carry, batch):
+        params, opt_state = carry
+        b = batch["targets"].shape[0]
+        if rows_fast:
+            table = params["table"]
+            small = {k: v for k, v in params.items() if k != "table"}
+            ids = jnp.concatenate(
+                [batch["anchors"], batch["targets"][:, None],
+                 batch["negs"][:, None]], axis=1)
+            rows = table[ids]
+
+            def loss_fn(rows, sp):
+                return weight * gqe.margin_loss_from_rows(
+                    cfg, sp, structure, rows, batch["rels"],
+                    batch["inter_modes"])
+
+            loss, (g_rows, g_small) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1))(rows, small)
+            presorted = None
+            if "sorted_ids" in batch:
+                presorted = (batch["sorted_ids"], batch["sort_order"],
+                             batch["tile_starts"])
+            params, opt_state = optimizer.apply_rows(
+                params, g_small, ids, g_rows, opt_state,
+                presorted=presorted)
+            return (params, opt_state), loss
+
+        def loss_fn(p):
+            encode_fn = None
+            if cfg.depth > 0 and tables is not None:
+                from graphqembed_tpu.models.encoders import make_deep_encoder
+                encode_fn = make_deep_encoder(cfg, p, tables, cfg.depth,
+                                              cfg.aggregator)
+            if encode_fn is None:
+                # one fused gather -> one sorted-scatter in backward
+                # (gqe.margin_loss_rows_onegather docstring)
+                return weight * gqe.margin_loss_rows_onegather(
+                    cfg, p, structure, batch["anchors"], batch["rels"],
+                    batch["inter_modes"], batch["targets"], batch["negs"],
+                    jnp.ones(b, jnp.bool_))
+            return weight * gqe.margin_loss_rows(
+                cfg, p, structure, batch["anchors"], batch["rels"],
+                batch["inter_modes"], batch["targets"], batch["negs"],
+                jnp.ones(b, jnp.bool_), encode_fn=encode_fn)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        params, opt_state = _apply_optimizer(optimizer, params, grads,
+                                             opt_state)
+        return (params, opt_state), loss
+
+    return body
 
 
 def _check_storage_optimizer(cfg: GQEConfig, optimizer):
@@ -298,40 +437,14 @@ def make_scan_train_step(cfg: GQEConfig, optimizer, neighbor_tables=None):
     def scan_fn(params, opt_state, anchors, rels, inter_modes, targets, negs,
                 neg_counts, hard, hard_counts, tables, structure, key,
                 n_steps, weight, use_hard):
-        b = cfg.batch_size
         batch_xs, _ = _select_batches(
             cfg, key, n_steps,
             (anchors, rels, inter_modes, targets, negs, neg_counts, hard,
              hard_counts), use_hard)
-
-        def body(carry, batch):
-            params, opt_state = carry
-
-            def loss_fn(p):
-                encode_fn = None
-                if cfg.depth > 0 and tables is not None:
-                    from graphqembed_tpu.models.encoders import (
-                        make_deep_encoder,
-                    )
-                    encode_fn = make_deep_encoder(cfg, p, tables, cfg.depth,
-                                                  cfg.aggregator)
-                if encode_fn is None:
-                    # one fused gather -> one dense scatter in backward
-                    # (gqe.margin_loss_rows_onegather docstring)
-                    return weight * gqe.margin_loss_rows_onegather(
-                        cfg, p, structure, batch["anchors"], batch["rels"],
-                        batch["inter_modes"], batch["targets"], batch["negs"],
-                        jnp.ones(b, jnp.bool_))
-                return weight * gqe.margin_loss_rows(
-                    cfg, p, structure, batch["anchors"], batch["rels"],
-                    batch["inter_modes"], batch["targets"], batch["negs"],
-                    jnp.ones(b, jnp.bool_), encode_fn=encode_fn)
-
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            params, opt_state = _apply_optimizer(optimizer, params, grads,
-                                                 opt_state)
-            return (params, opt_state), loss
-
+        if _rows_fast(cfg, optimizer) and jax.default_backend() == "tpu":
+            batch_xs = _augment_rows_fast(batch_xs,
+                                          params["table"].shape[0])
+        body = _train_body(cfg, optimizer, structure, weight, tables)
         (params, opt_state), losses = jax.lax.scan(
             body, (params, opt_state), batch_xs)
         return params, opt_state, jnp.mean(losses)
@@ -343,57 +456,6 @@ def make_scan_train_step(cfg: GQEConfig, optimizer, neighbor_tables=None):
                        pool.neg_counts, pool.hard, pool.hard_counts,
                        neighbor_tables, structure, key, n_steps,
                        np.float32(weight), use_hard)
-
-    return run
-
-
-def make_scan_train_step_fused(cfg: GQEConfig):
-    """Scan mega-step with the fused Pallas Adam kernel (ops/fused_adam.py):
-    one HBM pass per parameter leaf per step, params/moments aliased in
-    place. Carries (params, mu, nu, count) instead of an optax state.
-    Returns run(params, mu, nu, count, pool, structure, key, n_steps, weight,
-    use_hard) -> (params, mu, nu, count, mean_loss)."""
-    from graphqembed_tpu.ops.fused_adam import fused_adam_tree
-
-    @functools.partial(
-        jax.jit,
-        static_argnames=("structure", "n_steps", "use_hard"),
-        donate_argnames=("params", "mu", "nu"),
-    )
-    def scan_fn(params, mu, nu, count, anchors, rels, inter_modes, targets,
-                negs, neg_counts, hard, hard_counts, structure, key, n_steps,
-                weight, use_hard):
-        b = cfg.batch_size
-        batch_xs, _ = _select_batches(
-            cfg, key, n_steps,
-            (anchors, rels, inter_modes, targets, negs, neg_counts, hard,
-             hard_counts), use_hard)
-
-        def body(carry, batch):
-            params, mu, nu, count = carry
-
-            def loss_fn(p):
-                return weight * gqe.margin_loss_rows_onegather(
-                    cfg, p, structure, batch["anchors"], batch["rels"],
-                    batch["inter_modes"], batch["targets"], batch["negs"],
-                    jnp.ones(b, jnp.bool_))
-
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            count = count + 1
-            params, mu, nu = fused_adam_tree(params, grads, mu, nu, count,
-                                             cfg.lr)
-            return (params, mu, nu, count), loss
-
-        (params, mu, nu, count), losses = jax.lax.scan(
-            body, (params, mu, nu, count), batch_xs)
-        return params, mu, nu, count, jnp.mean(losses)
-
-    def run(params, mu, nu, count, pool: DevicePool, structure: str, key,
-            n_steps: int, weight: float, use_hard: bool):
-        return scan_fn(params, mu, nu, count, pool.anchors, pool.rels,
-                       pool.inter_modes, pool.targets, pool.negs,
-                       pool.neg_counts, pool.hard, pool.hard_counts,
-                       structure, key, n_steps, np.float32(weight), use_hard)
 
     return run
 
@@ -498,35 +560,10 @@ def make_multitask_mega_step(cfg: GQEConfig, optimizer,
     def one_structure(params, opt_state, key_s, arrays, tables, structure,
                       weight, use_hard, steps_per):
         batch_xs, _ = _select_batches(cfg, key_s, steps_per, arrays, use_hard)
-
-        def body(carry, batch):
-            params, opt_state = carry
-
-            def loss_fn(p):
-                encode_fn = None
-                if cfg.depth > 0 and tables is not None:
-                    from graphqembed_tpu.models.encoders import (
-                        make_deep_encoder,
-                    )
-                    encode_fn = make_deep_encoder(cfg, p, tables, cfg.depth,
-                                                  cfg.aggregator)
-                if encode_fn is None:
-                    # one fused gather -> one dense scatter in backward
-                    # (gqe.margin_loss_rows_onegather docstring)
-                    return weight * gqe.margin_loss_rows_onegather(
-                        cfg, p, structure, batch["anchors"], batch["rels"],
-                        batch["inter_modes"], batch["targets"], batch["negs"],
-                        jnp.ones(b, jnp.bool_))
-                return weight * gqe.margin_loss_rows(
-                    cfg, p, structure, batch["anchors"], batch["rels"],
-                    batch["inter_modes"], batch["targets"], batch["negs"],
-                    jnp.ones(b, jnp.bool_), encode_fn=encode_fn)
-
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            params, opt_state = _apply_optimizer(optimizer, params, grads,
-                                                 opt_state)
-            return (params, opt_state), loss
-
+        if _rows_fast(cfg, optimizer) and jax.default_backend() == "tpu":
+            batch_xs = _augment_rows_fast(batch_xs,
+                                          params["table"].shape[0])
+        body = _train_body(cfg, optimizer, structure, weight, tables)
         (params, opt_state), losses = jax.lax.scan(
             body, (params, opt_state), batch_xs)
         return params, opt_state, jnp.mean(losses)

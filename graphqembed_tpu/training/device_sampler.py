@@ -170,14 +170,52 @@ def _in_branch(dg: DeviceGraph, key: jax.Array, node: jnp.ndarray,
     return take(rel_c), take(anchor), ok
 
 
+def _hard_neg_branches(dg: DeviceGraph, key: jax.Array,
+                       anchors: jnp.ndarray, rels: jnp.ndarray,
+                       tgt: jnp.ndarray, tries: int = 8):
+    """On-device PARTIAL-BRANCH hard negative for an intersection at the
+    node the branches join (SURVEY.md §2.2: hard negatives satisfy a proper
+    subset of the branches): pick a random branch i, sample an alternative
+    endpoint t' of anchor_i via rel_i (so t' SATISFIES branch i), and reject
+    candidates that also appear in another branch j's sampled neighbor row
+    (so t' likely FAILS branch j — membership is tested against the S
+    table samples, the standard on-device approximation). anchors/rels
+    [b, k] in FORWARD orientation (anchor —rel→ join). Returns
+    (hard [b], ok [b]); callers fall back to the plain negative where ok is
+    False."""
+    b, k_br = anchors.shape
+    k1, k2 = jax.random.split(key)
+    i = jax.random.randint(k1, (b,), 0, k_br)
+    pick = lambda x, idx: jnp.take_along_axis(x, idx[:, None], axis=1)[:, 0]
+    rel_i = pick(rels, i)
+    anc_i = pick(anchors, i)
+    local_i = jnp.maximum(anc_i - dg.from_lo[rel_i], 0)
+    slots = jax.random.randint(k2, (b, tries), 0, dg.neighbors.shape[2])
+    cand = dg.neighbors[rel_i[:, None], local_i[:, None], slots]   # [b, T]
+    j = (i + 1) % k_br
+    rel_j = pick(rels, j)
+    anc_j = pick(anchors, j)
+    local_j = jnp.maximum(anc_j - dg.from_lo[rel_j], 0)
+    row_j = dg.neighbors[rel_j, local_j]                           # [b, S]
+    sat_j = (cand[:, :, None] == row_j[:, None, :]).any(axis=2)
+    valid = (cand >= 0) & (cand != tgt[:, None]) & ~sat_j
+    first = jnp.argmax(valid, axis=1)
+    hard = jnp.take_along_axis(cand, first[:, None], axis=1)[:, 0]
+    ok = jnp.take_along_axis(valid, first[:, None], axis=1)[:, 0]
+    return hard, ok
+
+
 def sample_inter_batch(dg: DeviceGraph, key: jax.Array, b: int,
                        k_branches: int = 2):
     """On-device 2i/3i batch: anchors [b, k], rels [b, k], inter_modes [b],
-    targets [b], negs [b], row_mask [b]. Branch 0 comes from an edge pick
-    (anchor0 —rel0→ t); branches 1..k-1 sample in-edges of t via the REVERSE
-    neighbor table (rel_i with t —rev(rel_i)→ anchor_i); rows with no valid
-    in-edge, or duplicate (rel, anchor) branches, are masked out."""
-    k_edge, k_br, k_neg = jax.random.split(key, 3)
+    targets [b], negs [b], hard_negs [b], hard_ok [b], row_mask [b]. Branch
+    0 comes from an edge pick (anchor0 —rel0→ t); branches 1..k-1 sample
+    in-edges of t via the REVERSE neighbor table (rel_i with
+    t —rev(rel_i)→ anchor_i); rows with no valid in-edge, or duplicate
+    (rel, anchor) branches, are masked out. hard_negs are partial-branch
+    negatives (_hard_neg_branches) with hard_ok marking rows where one was
+    found."""
+    k_edge, k_br, k_neg, k_hard = jax.random.split(key, 4)
     rel0, a0, tgt, ok = _pick_edges(dg, k_edge, b)
     rels = [rel0]
     anchors = [a0]
@@ -189,8 +227,11 @@ def sample_inter_batch(dg: DeviceGraph, key: jax.Array, b: int,
         anchors.append(a)
     inter_modes = dg.to_mode_id[rels[0]]
     neg = _neg_resample(dg, k_neg, rels[0], tgt)
-    return (jnp.stack(anchors, axis=1), jnp.stack(rels, axis=1),
-            inter_modes, tgt, neg, ok)
+    a_stack = jnp.stack(anchors, axis=1)
+    r_stack = jnp.stack(rels, axis=1)
+    hard, hard_ok = _hard_neg_branches(dg, k_hard, a_stack, r_stack, tgt)
+    return (a_stack, r_stack, inter_modes, tgt, neg,
+            jnp.where(hard_ok, hard, neg), hard_ok, ok)
 
 
 def sample_ip_batch(dg: DeviceGraph, key: jax.Array, b: int):
@@ -198,7 +239,7 @@ def sample_ip_batch(dg: DeviceGraph, key: jax.Array, b: int):
     [mirrors native/sampler.cpp case 5]: pick the final edge (r3, v, t),
     then two distinct in-branches at the JOIN node v. anchors [b, 2],
     rels [b, 3] = (r1, r2, r3), inter_modes [b] = v's mode."""
-    k_edge, k_b1, k_b2, k_neg = jax.random.split(key, 4)
+    k_edge, k_b1, k_b2, k_neg, k_hard, k_hp = jax.random.split(key, 6)
     r3, v, tgt, ok = _pick_edges(dg, k_edge, b)
     r1, a1, ok1 = _in_branch(dg, k_b1, v, [], b)
     r2, a2, ok2 = _in_branch(dg, k_b2, v, [(r1, a1)], b)
@@ -207,7 +248,17 @@ def sample_ip_batch(dg: DeviceGraph, key: jax.Array, b: int):
     rels = jnp.stack([r1, r2, r3], axis=1)
     inter_modes = dg.to_mode_id[r1]      # join node v's mode
     neg = _neg_resample(dg, k_neg, r3, tgt)
-    return anchors, rels, inter_modes, tgt, neg, ok
+    # hard negative: a partial-branch join v' (satisfies one of the two
+    # branches at v, fails the other), projected through r3 — so t' is
+    # answerable for a proper subset of the query's constraints
+    v_hard, hok = _hard_neg_branches(dg, k_hard, anchors,
+                                     jnp.stack([r1, r2], axis=1), v)
+    local = jnp.maximum(v_hard - dg.from_lo[r3], 0)
+    slot = jax.random.randint(k_hp, (b,), 0, dg.neighbors.shape[2])
+    t_hard = dg.neighbors[r3, local, slot]
+    hok = hok & (t_hard >= 0) & (t_hard != tgt)
+    return (anchors, rels, inter_modes, tgt, neg,
+            jnp.where(hok, t_hard, neg), hok, ok)
 
 
 def sample_pi_batch(dg: DeviceGraph, key: jax.Array, b: int):
@@ -217,7 +268,7 @@ def sample_pi_batch(dg: DeviceGraph, key: jax.Array, b: int):
     branch (r3, a2) at t, rejecting the degenerate duplicate of the chain's
     own last edge. anchors [b, 2], rels [b, 3] = (r1, r2, r3),
     inter_modes [b] = t's mode."""
-    k_edge, k_b1, k_b2, k_neg = jax.random.split(key, 4)
+    k_edge, k_b1, k_b2, k_neg, k_hard = jax.random.split(key, 5)
     r2, v, tgt, ok = _pick_edges(dg, k_edge, b)
     r1, a1, ok1 = _in_branch(dg, k_b1, v, [], b)
     r3, a2, ok2 = _in_branch(dg, k_b2, tgt, [(r2, v)], b)
@@ -226,18 +277,27 @@ def sample_pi_batch(dg: DeviceGraph, key: jax.Array, b: int):
     rels = jnp.stack([r1, r2, r3], axis=1)
     inter_modes = dg.to_mode_id[r3]      # intersection at the target mode
     neg = _neg_resample(dg, k_neg, r3, tgt)
-    return anchors, rels, inter_modes, tgt, neg, ok
+    # hard negative at t: the two branches joining at the target are the
+    # chain's last hop (v —r2→ t) and the edge (a2 —r3→ t)
+    hard, hok = _hard_neg_branches(
+        dg, k_hard, jnp.stack([v, a2], axis=1),
+        jnp.stack([r2, r3], axis=1), tgt)
+    return (anchors, rels, inter_modes, tgt, neg,
+            jnp.where(hok, hard, neg), hok, ok)
 
 
 def sample_structure_batch(dg: DeviceGraph, key: jax.Array, b: int,
                            structure: str):
     """Dispatch table over all 7 structures -> (anchors, rels, inter_modes,
-    targets, negs, row_mask). `structure` is static."""
+    targets, negs, hard_negs, hard_ok, row_mask). `structure` is static.
+    Chains carry hard_negs == negs with hard_ok all-False (no intersection
+    to take a partial branch of)."""
     if structure in ("1p", "2p", "3p"):
         anchors, rels, tgt, neg, mask = sample_path_batch(
             dg, key, b, n_hops=int(structure[0]))
         modes = jnp.full((b,), -1, jnp.int32)
-        return anchors, rels, modes, tgt, neg, mask
+        return (anchors, rels, modes, tgt, neg, neg,
+                jnp.zeros((b,), jnp.bool_), mask)
     if structure in ("2i", "3i"):
         return sample_inter_batch(dg, key, b, k_branches=int(structure[0]))
     if structure == "ip":
@@ -253,24 +313,36 @@ def make_onthefly_train_step(cfg, optimizer, dg: DeviceGraph):
     sampling and training fused in one compiled program, zero host
     involvement and zero HBM pool. Supports all 7 structures.
 
-    Returns run(params, opt_state, structure, key, n_steps, weight)
-    -> (params, opt_state, mean_loss)."""
+    use_hard=True runs §2.5's hard-negative alternation on device: steps
+    where device_data._hard_step(cfg, t) holds (strict parity alternation at
+    hard_neg_frac=0.5, generalized cycle otherwise) score against the
+    PARTIAL-BRANCH hard negative (_hard_neg_branches); rows where no hard
+    candidate was found fall back to the plain type-range negative.
+
+    Returns run(params, opt_state, structure, key, n_steps, weight,
+    use_hard) -> (params, opt_state, mean_loss)."""
     from graphqembed_tpu.models import gqe
-    from graphqembed_tpu.training.device_data import _apply_optimizer
+    from graphqembed_tpu.training.device_data import (
+        _apply_optimizer,
+        _hard_step,
+    )
 
     b = cfg.batch_size
 
     @functools.partial(
         jax.jit,
-        static_argnames=("structure", "n_steps"),
+        static_argnames=("structure", "n_steps", "use_hard"),
         donate_argnames=("params", "opt_state"),
     )
-    def scan_fn(params, opt_state, dg, structure, key, n_steps, weight):
+    def scan_fn(params, opt_state, dg, structure, key, n_steps, weight,
+                use_hard):
         def body(carry, t):
             params, opt_state = carry
             k = jax.random.fold_in(key, t)
-            anchors, rels, modes, tgt, neg, mask = sample_structure_batch(
-                dg, k, b, structure)
+            (anchors, rels, modes, tgt, neg, hard_neg, hard_ok,
+             mask) = sample_structure_batch(dg, k, b, structure)
+            if use_hard:
+                neg = jnp.where(_hard_step(cfg, t), hard_neg, neg)
 
             def loss_fn(p):
                 return weight * gqe.margin_loss_rows_onegather(
@@ -286,9 +358,9 @@ def make_onthefly_train_step(cfg, optimizer, dg: DeviceGraph):
         return params, opt_state, jnp.mean(losses)
 
     def run(params, opt_state, structure: str, key, n_steps: int,
-            weight: float):
+            weight: float, use_hard: bool = False):
         return scan_fn(params, opt_state, dg, structure, key, n_steps,
-                       np.float32(weight))
+                       np.float32(weight), bool(use_hard))
 
     return run
 
@@ -297,16 +369,26 @@ def run_train_onthefly(cfg, schema, params, dg: DeviceGraph,
                        val_queries=None, total_steps: int | None = None,
                        burn_in_steps: int | None = None,
                        steps_per: int = 100, key=None, optimizer=None,
-                       log=None):
+                       log=None, ckpt_manager=None, ckpt_every: int = 0,
+                       resume: bool = False):
     """Production driver for the pool-free pipeline (`gqe-train --pipeline
     onthefly`): burn-in (1p) then weighted multitask over all 7 structures,
     every batch sampled ON DEVICE inside the compiled scan — the
     BASELINE.json stretch capability ("query sampling and path traversal
-    compile to sparse gather/scatter") end to end. Eval still uses offline
-    exact-negative val queries. Returns a training/loop.py::TrainResult."""
+    compile to sparse gather/scatter") end to end. Intersection structures
+    run §2.5's hard-negative alternation with on-device partial-branch hard
+    negatives (use_hard in make_onthefly_train_step). Eval still uses
+    offline exact-negative val queries.
+
+    Checkpoint/resume (ckpt_manager + ckpt_every): saves at dispatch
+    boundaries; the batch stream is a pure function of (key, dispatch_i) —
+    every sample is drawn from fold_in(key, dispatch_i) inside the scan —
+    so resume replays bit-identically with no host sampler state to save
+    (pinned by tests/test_fault_injection.py). Returns a
+    training/loop.py::TrainResult."""
     import time
 
-    from graphqembed_tpu.config import STRUCTURES
+    from graphqembed_tpu.config import INTERSECT_STRUCTURES, STRUCTURES
     from graphqembed_tpu.training.device_data import default_optimizer
     from graphqembed_tpu.training.eval import eval_auc
     from graphqembed_tpu.training.loop import (
@@ -331,14 +413,35 @@ def run_train_onthefly(cfg, schema, params, dg: DeviceGraph,
     best_params = jax.tree.map(lambda x: x.copy(), params)
     done = 0
     dispatch_i = 0
+    actual_burn_in = 0
+    in_burn = True
+    last_ckpt = 0
     t0 = time.time()
+
+    if resume and ckpt_manager is not None:
+        restored = ckpt_manager.restore_latest(
+            like={"params": params, "opt_state": opt_state,
+                  "best_params": params})
+        if restored is not None:
+            state, meta = restored
+            params = state["params"]
+            opt_state = state["opt_state"]
+            best_params = state["best_params"]
+            done = last_ckpt = int(meta["step"])
+            dispatch_i = int(meta["dispatch_i"])
+            actual_burn_in = int(meta["burn_in_steps"])
+            in_burn = bool(meta["in_burn"])
+            best_macro = float(meta["best_macro"])
+            burn_series = list(meta.get("burn_tail", []))
+            multi_series = list(meta.get("multi_tail", []))
 
     def dispatch(structure, n):
         nonlocal params, opt_state, done, dispatch_i
         params, opt_state, mloss = step_fn(
             params, opt_state, structure,
             jax.random.fold_in(key, dispatch_i), n,
-            structure_weight(cfg, structure))
+            structure_weight(cfg, structure),
+            structure in INTERSECT_STRUCTURES and cfg.hard_neg_alternate)
         dispatch_i += 1
         done += n
         loss = float(mloss)
@@ -347,13 +450,35 @@ def run_train_onthefly(cfg, schema, params, dg: DeviceGraph,
             log(done, structure, loss)
         return loss
 
+    def maybe_ckpt(force: bool = False):
+        nonlocal last_ckpt
+        if ckpt_manager is None or not ckpt_every or \
+                (done - last_ckpt < ckpt_every and not force) or \
+                done == last_ckpt:
+            return
+        ckpt_manager.save_state(
+            done,
+            {"params": params, "opt_state": opt_state,
+             "best_params": best_params},
+            extra={"dispatch_i": dispatch_i, "in_burn": in_burn,
+                   "burn_in_steps": actual_burn_in,
+                   "best_macro": best_macro,
+                   "burn_tail": burn_series[-cfg.conv_window:],
+                   "multi_tail": multi_series[-cfg.conv_window:]})
+        last_ckpt = done
+
     burn_window = max(1, round(cfg.conv_window / steps_per))
-    while done < burn_in_steps:
+    while in_burn and done < burn_in_steps:
         burn_series.append(dispatch("1p", min(steps_per,
                                               burn_in_steps - done)))
-        if check_conv(burn_series, burn_window, cfg.tol):
-            break
-    actual_burn_in = done
+        if (check_conv(burn_series, burn_window, cfg.tol)
+                or done >= burn_in_steps):
+            in_burn = False
+            actual_burn_in = done
+        maybe_ckpt()
+    if in_burn:
+        in_burn = False
+        actual_burn_in = done
 
     multi_window = max(1, round(cfg.conv_window
                                 / (len(structures) * steps_per)))
@@ -364,7 +489,8 @@ def run_train_onthefly(cfg, schema, params, dg: DeviceGraph,
         for s in structures:
             if done >= total_steps:
                 break
-            round_losses.append(dispatch(s, steps_per))
+            round_losses.append(dispatch(s, min(steps_per,
+                                                total_steps - done)))
         multi_series.append(float(np.mean(round_losses)))
         if val_queries and done >= next_eval:
             aucs = eval_auc(cfg, params, schema, val_queries, seed=cfg.seed)
@@ -374,8 +500,10 @@ def run_train_onthefly(cfg, schema, params, dg: DeviceGraph,
                 best_macro = macro
                 best_params = jax.tree.map(lambda x: x.copy(), params)
             next_eval = done + eval_every
+        maybe_ckpt()
         if check_conv(multi_series, multi_window, cfg.tol):
             break
+    maybe_ckpt(force=True)  # final state (resume-to-completion lands here)
     if val_queries and not val_history:
         aucs = eval_auc(cfg, params, schema, val_queries, seed=cfg.seed)
         best_macro = aucs.get("macro", 0.0)

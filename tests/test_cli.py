@@ -51,3 +51,29 @@ def test_storage_bf16_rejected_on_host_pipeline():
     with pytest.raises(SystemExit, match="stochastic-rounding"):
         main(["--synthetic", "--pipeline", "host",
               "--storage_dtype", "bfloat16"])
+
+
+def test_onthefly_cli_e2e(tmp_path):
+    """`--pipeline onthefly` end-to-end through the CLI entrypoint: flag
+    plumbing (bf16 storage + hard_neg_frac + steps accounting) reaches the
+    pool-free driver, metrics/config land on disk, and the run reports
+    every structure's loss."""
+    import json
+
+    from graphqembed_tpu.cli.train import main
+
+    md = tmp_path / "run"
+    rc = main([
+        "--synthetic", "--synthetic_scale", "0.3", "--n_train_queries", "20",
+        "--n_val_queries", "20", "--embed_dim", "16", "--batch_size", "16",
+        "--max_iter", "80", "--max_burn_in", "20", "--val_every", "40",
+        "--pipeline", "onthefly", "--bf16", "--hard_neg_frac", "0.75",
+        "--model_dir", str(md),
+    ])
+    assert rc == 0
+    cfg = json.loads((md / "config.json").read_text())
+    assert cfg["storage_dtype"] == "bfloat16"
+    assert cfg["hard_neg_frac"] == 0.75
+    metrics = json.loads((md / "metrics.json").read_text())
+    assert metrics["steps"] >= 80
+    assert metrics["best_val_auc"] > 0.3

@@ -90,8 +90,9 @@ def test_inter_batch_valid(dg):
     graph, d = dg
     schema = graph.schema
     for k in (2, 3):
-        anchors, rels, modes, tgt, neg, ok = map(np.asarray, sample_inter_batch(
-            d, jax.random.key(k), 128, k_branches=k))
+        anchors, rels, modes, tgt, neg, hard, hok, ok = map(
+            np.asarray, sample_inter_batch(d, jax.random.key(k), 128,
+                                           k_branches=k))
         assert ok.mean() > 0.5, ok.mean()
         for i in np.nonzero(ok)[0][:20]:
             seen = set()
@@ -104,6 +105,20 @@ def test_inter_batch_valid(dg):
                 schema.rel_of(int(rels[i, 0]))[2])
             lo, hi = schema.mode_range(schema.rel_of(int(rels[i, 0]))[2])
             assert lo <= neg[i] < hi and neg[i] != tgt[i]
+        # partial-branch hard negatives: satisfy >=1 branch, differ from the
+        # target, and FAIL at least one branch (checked on real rows)
+        assert (ok & hok).mean() > 0.2
+        hchecked = 0
+        for i in np.nonzero(ok & hok)[0]:
+            if hchecked >= 15:
+                break
+            sat = [graph.has_edge(int(anchors[i, bidx]),
+                                  schema.rel_of(int(rels[i, bidx])),
+                                  int(hard[i])) for bidx in range(k)]
+            assert any(sat), (i, sat)
+            assert int(hard[i]) != int(tgt[i])
+            hchecked += 1
+        assert hchecked >= 5
 
 
 def test_onthefly_training_learns(dg):
@@ -144,7 +159,7 @@ def test_ip_batch_valid(dg):
 
     graph, d = dg
     schema = graph.schema
-    anchors, rels, modes, tgt, neg, ok = map(
+    anchors, rels, modes, tgt, neg, hard, hok, ok = map(
         np.asarray, sample_ip_batch(d, jax.random.key(11), 128))
     assert ok.mean() > 0.4, ok.mean()
     checked = 0
@@ -177,7 +192,7 @@ def test_pi_batch_valid(dg):
 
     graph, d = dg
     schema = graph.schema
-    anchors, rels, modes, tgt, neg, ok = map(
+    anchors, rels, modes, tgt, neg, hard, hok, ok = map(
         np.asarray, sample_pi_batch(d, jax.random.key(12), 128))
     assert ok.mean() > 0.4, ok.mean()
     checked = 0

@@ -39,7 +39,8 @@ def dataset(tmp_path_factory):
     return out
 
 
-@pytest.mark.parametrize("pipeline", ["host", "device", "stream"])
+@pytest.mark.parametrize("pipeline", ["host", "device", "stream",
+                                      "onthefly"])
 def test_kill_and_resume(dataset, tmp_path, pipeline):
     model_dir = tmp_path / "run"
     env = {**os.environ, "PYTHONPATH": str(REPO), "JAX_PLATFORMS": "cpu",

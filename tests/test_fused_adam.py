@@ -226,3 +226,100 @@ def test_sparse_bf16_table_trains(graph):
     assert np.abs(now[3] - orig[3]).max() > 0.01
     assert np.array_equal(now[0], orig[0])  # untouched row bit-identical
     assert float(jnp.max(state.nu[3].astype(jnp.float32))) > 0.0
+
+
+def test_rows_ref_matches_dense_sr_ref():
+    """adam_step_rows_sr_ref (sparse row grads, dense-Adam semantics) ==
+    adam_step_sr_ref on the scatter-built dense grad, same key — including
+    duplicate ids (their contributions sum)."""
+    from graphqembed_tpu.ops.fused_adam import (
+        adam_step_rows_sr_ref,
+        adam_step_sr_ref,
+    )
+
+    rng = np.random.default_rng(3)
+    n, d, L = 64, 128, 24
+    p = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    mu = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32) * 0.01
+                     ).astype(jnp.bfloat16)
+    nu = jnp.asarray(rng.uniform(size=(n, d)).astype(np.float32) * 1e-3
+                     ).astype(jnp.bfloat16)
+    ids = jnp.asarray(rng.integers(0, n, size=L).astype(np.int32))
+    ids = ids.at[3].set(ids[0])  # force a duplicate
+    rows = jnp.asarray(rng.normal(size=(L, d)).astype(np.float32) * 0.1
+                       ).astype(jnp.bfloat16)
+    count = jnp.int32(4)
+    key = jax.random.key(11)
+    p1, m1, v1 = adam_step_rows_sr_ref(p, mu, nu, ids, rows, count, 0.01, key)
+    order = jnp.argsort(ids)
+    g = jnp.zeros((n, d), jnp.float32).at[ids[order]].add(
+        rows[order].astype(jnp.float32), indices_are_sorted=True)
+    p2, m2, v2 = adam_step_sr_ref(p, g, mu, nu, count, 0.01, key)
+    for a, b in ((p1, p2), (m1, m2), (v1, v2)):
+        np.testing.assert_array_equal(np.asarray(a.astype(jnp.float32)),
+                                      np.asarray(b.astype(jnp.float32)))
+
+
+def test_presort_row_ids_invariants():
+    """Sorted ids ascending; order permutes ids to sorted; padding carries
+    sentinel id n / order L; tile_starts bracket each tile's id range."""
+    from graphqembed_tpu.ops.fused_adam import (
+        _pick_tile,
+        presort_row_ids,
+        rows_pad,
+    )
+
+    rng = np.random.default_rng(0)
+    n, L = 880, 96
+    ids = jnp.asarray(rng.integers(0, n, size=(3, L)).astype(np.int32))
+    sids, order, starts = presort_row_ids(ids, n)
+    tile = _pick_tile(n)
+    assert sids.shape == (3, rows_pad(L)) == order.shape
+    assert starts.shape == (3, n // tile + 1)
+    for b in range(3):
+        s = np.asarray(sids[b])
+        o = np.asarray(order[b])
+        assert (np.diff(s[:L]) >= 0).all()
+        np.testing.assert_array_equal(s[:L], np.sort(np.asarray(ids[b])))
+        np.testing.assert_array_equal(np.asarray(ids[b])[o[:L]], s[:L])
+        assert (s[L:] == n).all() and (o[L:] == L).all()
+        st = np.asarray(starts[b])
+        for t in range(n // tile):
+            seg = s[st[t]:st[t + 1]]
+            assert ((seg >= t * tile) & (seg < (t + 1) * tile)).all()
+
+
+def test_rows_grad_update_scan_matches_dense_quality(graph):
+    """cfg.rows_grad_update=True (CPU: the jnp reference path) trains the
+    same workload to a loss in family with the dense bf16 path — the opt-in
+    rows-grad pipeline is semantically a dense-Adam step."""
+    import dataclasses
+
+    from graphqembed_tpu.data.sampling import QuerySampler
+    from graphqembed_tpu.models.params import init_params
+    from graphqembed_tpu.training.device_data import (
+        DeviceTrainData,
+        FusedAdamOpt,
+        make_scan_train_step,
+    )
+
+    from graphqembed_tpu.config import GQEConfig
+    cfg0 = GQEConfig(embed_dim=32, batch_size=64, lr=0.01,
+                     compute_dtype="bfloat16", storage_dtype="bfloat16")
+    s = QuerySampler(graph, np.random.default_rng(0), max_negs=10)
+    queries = s.sample_many("2i", 300)
+    data = DeviceTrainData(graph.schema, queries)
+    losses = {}
+    for name, cfg in (("dense", cfg0),
+                      ("rows", dataclasses.replace(cfg0,
+                                                   rows_grad_update=True))):
+        params = init_params(cfg, graph.schema, jax.random.key(0))
+        opt = FusedAdamOpt(cfg.lr)
+        st = opt.init(params)
+        scan = make_scan_train_step(cfg, opt)
+        p, o, loss = scan(params, st, data.pools["2i"], "2i",
+                          jax.random.key(1), 60, np.float32(1.0), True)
+        losses[name] = float(loss)
+    # same protocol, same schedule; SR streams differ so allow slack
+    assert abs(losses["dense"] - losses["rows"]) < 0.15, losses

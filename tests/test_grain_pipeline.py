@@ -79,8 +79,10 @@ def test_run_train_stream_e2e(graph, tmp_path):
     assert res.steps == 600
     assert res.burn_in_steps == 400
     assert set(res.losses) == {"1p", "2i"}
-    early = np.mean(res.losses["1p"][:15])
-    late = np.mean(res.losses["1p"][-15:])
+    # windowed stream records one mean loss per DISPATCH (50 steps), so
+    # compare the first dispatch against the last
+    early = res.losses["1p"][0]
+    late = res.losses["1p"][-1]
     assert late < 0.7 * early, (early, late)
     aucs = eval_auc(cfg, res.best_params, graph.schema, val)
     assert aucs["1p"] > 0.6, aucs
