@@ -30,10 +30,13 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset", type=str, default="bio",
-                    choices=["bio", "reddit"],
+                    choices=["bio", "reddit", "bio-latent"],
                     help="synthetic schema family (the two paper "
                          "benchmarks); reddit uses graph/synthetic.py::"
-                         "reddit_graph at the same paper-like node count")
+                         "reddit_graph at the same paper-like node count; "
+                         "bio-latent plants recoverable community "
+                         "structure (synthetic_graph_latent) so clean-test "
+                         "has headroom above the degree-only ceiling")
     ap.add_argument("--scale", type=float, default=None,
                     help="default: 114 (bio, ~100k nodes) / 60 (reddit)")
     ap.add_argument("--avg_degree", type=float, default=40.0)
@@ -61,6 +64,8 @@ def main():
         args.scale = 60.0 if args.dataset == "reddit" else 114.0
     if args.out == "RESULTS_bio_paperscale.md" and args.dataset == "reddit":
         args.out = "RESULTS_reddit_paperscale.md"
+    if args.out == "RESULTS_bio_paperscale.md" and args.dataset == "bio-latent":
+        args.out = "RESULTS_biolatent_paperscale.md"
     if args.bf16 and "_bf16" not in args.out:  # never clobber the fp32 run
         args.out = args.out.replace(".md", "_bf16.md")
     if args.quick:
@@ -81,6 +86,7 @@ def main():
         holdout_edges,
         reddit_graph,
         synthetic_graph,
+        synthetic_graph_latent,
     )
     from graphqembed_tpu.models.params import init_params
     from graphqembed_tpu.native import (
@@ -102,7 +108,8 @@ def main():
                     compute_dtype="bfloat16" if args.bf16 else "float32",
                     storage_dtype="bfloat16" if args.bf16 else "float32")
 
-    gen = reddit_graph if args.dataset == "reddit" else synthetic_graph
+    gen = {"reddit": reddit_graph, "bio": synthetic_graph,
+           "bio-latent": synthetic_graph_latent}[args.dataset]
     graph = gen(seed=0, scale=args.scale, avg_degree=args.avg_degree)
     train_graph, held = holdout_edges(graph, frac=0.1, seed=1)
     print(f"graph: {graph.schema.n_nodes} nodes, {graph.num_edges()} edges, "

@@ -15,6 +15,7 @@ import json
 from pathlib import Path
 
 import grain.python as grain
+import jax
 import numpy as np
 
 
@@ -52,8 +53,12 @@ class QueryShardSource(grain.RandomAccessDataSource):
         if si not in self._cache:
             z = np.load(self.path / self.entries[si]["file"])
             self._cache[si] = {k: z[k] for k in z.files}
-            self._cache[si]["rels"] = np.asarray(
-                self.entries[si]["rels_ids"], np.int32)
+            if "rels" not in self._cache[si]:
+                # formula shard (save_queries): one rels row for the shard;
+                # mixed-formula native shards (save_query_arrays) store
+                # per-row rels in the npz itself
+                self._cache[si]["rels"] = np.asarray(
+                    self.entries[si]["rels_ids"], np.int32)
         return self._cache[si]
 
     @staticmethod
@@ -72,12 +77,15 @@ class QueryShardSource(grain.RandomAccessDataSource):
         hard = (self._fit(shard["hard_negs"][row], self.hard_neg_width)
                 if "hard_negs" in shard else
                 self._fit(negs, self.hard_neg_width))
+        rels = shard["rels"]
+        if rels.ndim == 2:       # mixed-formula native shard: per-row rels
+            rels = rels[row]
         return {
             "anchors": shard["anchors"][row],
             "target": shard["targets"][row],
             "negs": negs,
             "hard_negs": hard,
-            "rels": shard["rels"],
+            "rels": rels,
         }
 
 
@@ -122,6 +130,114 @@ def make_query_loader(path: str | Path, schema, structure: str,
     )
 
 
+class NpzStructureStream:
+    """Vectorized, exactly-once record stream over one structure's npz
+    shards — the window producer for run_train_stream.
+
+    grain's per-record python path tops out around ~40k records/s/worker,
+    which starves a chip consuming millions of queries/s; here a window of W
+    records is assembled with numpy fancy-indexing over (mmap-backed where
+    uncompressed) shard arrays in milliseconds. The stream state is just
+    (epoch, pos) over a seeded per-epoch permutation — trivially
+    JSON-serializable and exactly-once on resume (the permutation is a pure
+    function of (seed, epoch))."""
+
+    def __init__(self, path: str | Path, structure: str, seed: int = 0,
+                 neg_width: int = 16, hard_neg_width: int = 16):
+        self.path = Path(path)
+        manifest = json.loads((self.path / "manifest.json").read_text())
+        self.entries = [e for e in manifest if e["structure"] == structure]
+        self.structure = structure
+        self.neg_width = neg_width
+        self.hard_neg_width = hard_neg_width
+        self.shards = []
+        for e in self.entries:
+            z = np.load(self.path / e["file"], mmap_mode="r")
+            self.shards.append({
+                "anchors": z["anchors"], "targets": z["targets"],
+                "negs": z["negs"],
+                "hard_negs": z["hard_negs"] if "hard_negs" in z.files
+                else None,
+                "rels": z["rels"] if "rels" in z.files
+                else np.asarray(e["rels_ids"], np.int32),
+            })
+        self.offsets = np.cumsum([0] + [e["count"] for e in self.entries])
+        self.n = int(self.offsets[-1])
+        self.seed = seed
+        self.epoch = 0
+        self.pos = 0
+        self._perm = None
+        self._perm_epoch = -1
+
+    def get_state(self) -> dict:
+        return {"epoch": self.epoch, "pos": self.pos}
+
+    def set_state(self, st: dict) -> None:
+        self.epoch = int(st["epoch"])
+        self.pos = int(st["pos"])
+
+    def _permutation(self, epoch: int) -> np.ndarray:
+        if self._perm_epoch != epoch:
+            rng = np.random.default_rng((self.seed, 0x5EED, epoch))
+            self._perm = rng.permutation(self.n)
+            self._perm_epoch = epoch
+        return self._perm
+
+    def _fit(self, arr: np.ndarray, width: int) -> np.ndarray:
+        if arr.shape[1] >= width:
+            return arr[:, :width]
+        out = np.full((arr.shape[0], width), -1, np.int32)
+        out[:, :arr.shape[1]] = arr
+        return out
+
+    def draw(self, w: int) -> dict:
+        """Next `w` records (advancing the stream): dict with per-row
+        anchors [w, A], target [w], negs [w, K] / hard_negs [w, Kh]
+        (-1-padded), rels [w, R] — the _window_arrays input shape."""
+        idx = []
+        while w > 0:
+            perm = self._permutation(self.epoch)
+            take = min(w, self.n - self.pos)
+            idx.append(perm[self.pos:self.pos + take])
+            self.pos += take
+            w -= take
+            if self.pos >= self.n:
+                self.epoch += 1
+                self.pos = 0
+        idx = np.concatenate(idx)
+        m = len(idx)
+        si = np.searchsorted(self.offsets, idx, side="right") - 1
+        a0 = self.shards[0]["anchors"].shape[1]
+        r0 = (self.shards[0]["rels"].shape[-1])
+        anchors = np.empty((m, a0), np.int32)
+        targets = np.empty(m, np.int32)
+        negs = np.full((m, self.neg_width), -1, np.int32)
+        hard = np.full((m, self.hard_neg_width), -1, np.int32)
+        rels = np.empty((m, r0), np.int32)
+        for s in np.unique(si):
+            sel = si == s
+            local = idx[sel] - self.offsets[s]
+            sh = self.shards[s]
+            anchors[sel] = sh["anchors"][local]
+            targets[sel] = sh["targets"][local]
+            negs[sel] = self._fit(np.asarray(sh["negs"][local], np.int32),
+                                  self.neg_width)
+            h = sh["hard_negs"]
+            if h is None:
+                hard[sel] = negs[sel][:, :self.hard_neg_width]
+            else:
+                hard[sel] = self._fit(np.asarray(h[local], np.int32),
+                                      self.hard_neg_width)
+            r = sh["rels"]
+            rels[sel] = r[local] if r.ndim == 2 else r[None, :]
+        return {"anchors": anchors, "target": targets, "negs": negs,
+                "hard_negs": hard, "rels": rels}
+
+
+_WINDOW_FIELDS = ("anchors", "rels", "inter_modes", "targets", "negs",
+                  "neg_counts", "hard", "hard_counts")
+
+
 class StreamWindow:
     """One structure's staged HBM window: DevicePool-shaped device arrays
     (training/device_data.py scan drivers consume it directly)."""
@@ -131,15 +247,57 @@ class StreamWindow:
 
         self.structure = structure
         self.n = len(arrays["targets"])
-        dev = jnp.asarray
-        self.anchors = dev(arrays["anchors"])
-        self.rels = dev(arrays["rels"])
-        self.inter_modes = dev(arrays["inter_modes"])
-        self.targets = dev(arrays["targets"])
-        self.negs = dev(arrays["negs"])
-        self.neg_counts = dev(arrays["neg_counts"])
-        self.hard = dev(arrays["hard"])
-        self.hard_counts = dev(arrays["hard_counts"])
+        for f in _WINDOW_FIELDS:
+            setattr(self, f, jnp.asarray(arrays[f]))
+
+
+class WindowPacker:
+    """Upload a whole window SET (all structures, all fields) as ONE host
+    buffer + one H2D transfer, then carve device arrays with a single
+    jitted program. Through a tunneled chip, per-array uploads are
+    LATENCY-bound (~10 ms each x 8 fields x n_structures per swap —
+    measured to dominate the stream wall), and per-slice device ops would
+    trigger one compilation each; this costs one transfer at wire bandwidth
+    plus one compile for the run (window shapes are fixed)."""
+
+    def __init__(self):
+        self._carve = None
+        self._plan = None
+
+    def pack(self, per_struct: dict[str, dict]) -> dict[str, StreamWindow]:
+        import jax.numpy as jnp
+
+        blobs, plan = [], []
+        off = 0
+        for s in sorted(per_struct):
+            for f in _WINDOW_FIELDS:
+                a = np.ascontiguousarray(np.asarray(per_struct[s][f],
+                                                    np.int32))
+                blobs.append(a.reshape(-1))
+                plan.append((s, f, off, a.size, a.shape))
+                off += a.size
+        buf = np.concatenate(blobs)
+        key = tuple((s, f, o, sz, shp) for s, f, o, sz, shp in plan)
+        if self._plan != key:
+            self._plan = key
+
+            @jax.jit
+            def carve(b):
+                return [jnp.reshape(b[o:o + sz], shp)
+                        for _, _, o, sz, shp in key]
+
+            self._carve = carve
+        parts = self._carve(jnp.asarray(buf))
+        out: dict[str, StreamWindow] = {}
+        for (s, f, *_), part in zip(plan, parts):
+            w = out.get(s)
+            if w is None:
+                w = out[s] = StreamWindow.__new__(StreamWindow)
+                w.structure = s
+            setattr(w, f, part)
+        for s, w in out.items():
+            w.n = len(per_struct[s]["targets"])
+        return out
 
 
 def _window_arrays(batches: list[dict], structure: str, tmode) -> dict:
@@ -216,7 +374,6 @@ def run_train_stream(cfg, schema, params, data_dir, val_queries=None,
     None — default_optimizer(cfg) picks it for storage_dtype="bfloat16").
 
     Returns a training/loop.py::TrainResult."""
-    import base64
     import time
     from concurrent.futures import ThreadPoolExecutor
 
@@ -245,13 +402,11 @@ def run_train_stream(cfg, schema, params, data_dir, val_queries=None,
     for e in manifest:
         counts[e["structure"]] = counts.get(e["structure"], 0) + e["count"]
     structures = [s for s in STRUCTURES if counts.get(s)]
+    _attach_rel_ids(data_dir, schema)
     # window record count per structure: fixed across windows (no retrace)
     win_n = {s: min(cfg.stream_window,
                     max(counts[s], cfg.batch_size)) for s in structures}
-    batches_per_win = {s: max(1, -(-win_n[s] // cfg.batch_size))
-                       for s in structures}
-    iters = {s: iter(make_query_loader(data_dir, schema, s, cfg.batch_size,
-                                       seed=seed, worker_count=worker_count))
+    iters = {s: NpzStructureStream(data_dir, s, seed=seed)
              for s in structures}
     tmode = schema.rel_target_mode_ids()
 
@@ -261,15 +416,14 @@ def run_train_stream(cfg, schema, params, data_dir, val_queries=None,
     master_key = jax.random.key(seed)
 
     def snapshot_iters() -> dict:
-        return {s: base64.b64encode(it.get_state()).decode()
-                for s, it in iters.items()}
+        return {s: it.get_state() for s, it in iters.items()}
+
+    packer = WindowPacker()
 
     def build_windows() -> dict:
-        out = {}
-        for s in structures:
-            batches = [next(iters[s]) for _ in range(batches_per_win[s])]
-            out[s] = StreamWindow(s, _window_arrays(batches, s, tmode))
-        return out
+        return packer.pack({
+            s: _window_arrays([iters[s].draw(win_n[s])], s, tmode)
+            for s in structures})
 
     # steps each window serves before swapping: ~stream_reuse consumptions
     # of every staged record, rounded to dispatch boundaries
@@ -313,8 +467,8 @@ def run_train_stream(cfg, schema, params, data_dir, val_queries=None,
             burn_series = list(meta.get("burn_tail", []))
             multi_series = list(meta.get("multi_tail", []))
             iter_snapshot = dict(meta["iter_states"])
-            for s, st64 in iter_snapshot.items():
-                iters[s].set_state(base64.b64decode(st64))
+            for name, st in iter_snapshot.items():
+                iters[name].set_state(st)
 
     # draw the current windows (resume re-draws the identical ones: the
     # snapshot above restored the pre-draw iterator states)
@@ -345,82 +499,140 @@ def run_train_stream(cfg, schema, params, data_dir, val_queries=None,
     burn_w = max(1, round(cfg.conv_window / steps_per))
     multi_w = max(1, round(cfg.conv_window / (len(structures) * steps_per)))
     eval_every_d = max(1, round(cfg.val_every / steps_per))
+    # bounded async horizon: losses drain at sync points rather than per
+    # scan call, but the queue is kept SHALLOW — measured on the tunneled
+    # chip, letting many dispatches accumulate and fetching a value late
+    # stalls pathologically (60s+ for work that streams in 12s when
+    # drained every round), so the default horizon is one round / a couple
+    # of burn dispatches
+    sync_every = 2
+    pending = []   # (phase, round_id, structure, t, device_loss)
+    round_i = 0
+    rounds_flushed = 0
+    t_loop0 = time.perf_counter()
 
-    def dispatch_one(structure, params, opt_state, t):
-        nonlocal dispatch_i, step_i, window_done, t_train
+    def dispatch_async(structure, params, opt_state, t, phase):
+        nonlocal dispatch_i, step_i, window_done
         use_hard = (structure in INTERSECT_STRUCTURES
                     and cfg.hard_neg_alternate)
-        t0 = time.perf_counter()
         params, opt_state, mloss = scan(
             params, opt_state, windows[structure], structure,
             jax.random.fold_in(master_key, dispatch_i), t,
             np.float32(structure_weight(cfg, structure)), use_hard)
-        loss = float(mloss)
-        t_train += time.perf_counter() - t0
+        pending.append((phase, round_i, structure, t, mloss))
         dispatch_i += 1
         step_i += t
         window_done += t
-        losses[structure].append(loss)
-        return params, opt_state, loss
+        return params, opt_state
 
-    def after_dispatch(params):
+    def flush():
+        """Drain pending losses (ONE device sync for the whole backlog) into
+        the per-structure series; multitask entries aggregate to per-round
+        means."""
+        nonlocal rounds_flushed
+        if not pending:
+            return
+        by_round: dict[int, list] = {}
+        for phase, ri, structure, t, mloss in pending:
+            v = float(mloss)
+            losses[structure].append(v)
+            if phase == "burn":
+                burn_series.append(v)
+            else:
+                by_round.setdefault(ri, []).append(v)
+        pending.clear()
+        for ri in sorted(by_round):
+            multi_series.append(float(np.mean(by_round[ri])))
+            rounds_flushed = ri + 1
+
+    def maybe_ckpt_now():
+        if ckpt_manager is not None and ckpt_every and \
+                step_i - last_ckpt >= ckpt_every:
+            maybe_ckpt()
+
+    def do_eval(params):
         nonlocal best_val, best_params
-        if log and dispatch_i % 10 == 0:
+        aucs = eval_auc(cfg, params, schema, val_queries, seed=cfg.seed)
+        macro = aucs.get("macro", 0.0)
+        val_history.append((step_i, macro))
+        if macro > best_val:
+            best_val = macro
+            best_params = jax.tree.map(lambda x: x.copy(), params)
+
+    def sync_point(params, eval_due=False):
+        flush()
+        if val_queries and eval_due:
+            do_eval(params)
+        maybe_ckpt_now()
+        if log:
             log(step_i, "stream", multi_series[-1] if multi_series
                 else (burn_series[-1] if burn_series else 0.0))
-        if val_queries and dispatch_i % eval_every_d == 0:
-            aucs = eval_auc(cfg, params, schema, val_queries, seed=cfg.seed)
-            macro = aucs.get("macro", 0.0)
-            val_history.append((step_i, macro))
-            if macro > best_val:
-                best_val = macro
-                best_params = jax.tree.map(lambda x: x.copy(), params)
-        maybe_ckpt()
 
-    def maybe_swap():
+    def swap_windows():
         nonlocal windows, iter_snapshot, next_snapshot, next_future, \
             window_done
-        if window_done >= window_budget:
-            windows = next_future.result()
-            iter_snapshot = next_snapshot
-            next_snapshot = snapshot_iters()
-            next_future = ex.submit(build_windows)
-            window_done = 0
+        windows = next_future.result()
+        iter_snapshot = next_snapshot
+        next_snapshot = snapshot_iters()
+        next_future = ex.submit(build_windows)
+        window_done = 0
 
     try:
-        # --- burn-in: 1p only ---
+        # --- burn-in: 1p only, async dispatches, sync on cadence ---
+        last_sync_d = 0
         while not multitask and step_i < total_steps:
-            maybe_swap()
+            if window_done >= window_budget:
+                swap_windows()   # sync-free: losses drain on their own cadence
             t = max(1, min(steps_per, total_steps - step_i,
                            burn_in_steps - step_i))
-            params, opt_state, loss = dispatch_one("1p", params, opt_state, t)
+            params, opt_state = dispatch_async("1p", params, opt_state, t,
+                                               "burn")
             burn_done += t
-            burn_series.append(loss)
-            # flip BEFORE after_dispatch: the checkpoint it may write must
-            # record the post-boundary phase, or a resume at the burn-in
-            # boundary would replay a bogus extra burn dispatch
-            if (check_conv(burn_series, burn_w, cfg.tol)
-                    or burn_done >= burn_in_steps):
+            if burn_done >= burn_in_steps:
                 multitask = True
-            after_dispatch(params)
+            eval_due = bool(val_queries) and dispatch_i % eval_every_d == 0
+            if (eval_due or dispatch_i - last_sync_d >= sync_every
+                    or multitask
+                    or (ckpt_manager is not None and ckpt_every
+                        and step_i - last_ckpt >= ckpt_every)):
+                # flip-before-ckpt: a checkpoint at the burn-in boundary
+                # must record the post-boundary phase
+                sync_point(params, eval_due=eval_due)
+                last_sync_d = dispatch_i
+                if check_conv(burn_series, burn_w, cfg.tol):
+                    multitask = True
         # --- multitask ROUNDS over all structures (device-mega schedule;
-        # per-round means are comparable, so convergence is meaningful) ---
+        # per-round means are comparable, so convergence is meaningful);
+        # sync points land at round boundaries only ---
+        last_sync_r = 0
+        sync_every_r = 1
+        eval_every_r = max(1, round(cfg.val_every
+                                    / (len(structures) * steps_per)))
         while step_i < total_steps:
-            round_losses = []
+            if window_done >= window_budget:
+                swap_windows()   # sync-free
             for structure in structures:
                 if step_i >= total_steps:
                     break
-                maybe_swap()
                 t = max(1, min(steps_per, total_steps - step_i))
-                params, opt_state, loss = dispatch_one(structure, params,
-                                                       opt_state, t)
-                round_losses.append(loss)
-                after_dispatch(params)
-            multi_series.append(float(np.mean(round_losses)))
-            if check_conv(multi_series, multi_w, cfg.tol):
-                break
+                params, opt_state = dispatch_async(structure, params,
+                                                   opt_state, t, "multi")
+            round_i += 1
+            eval_due = bool(val_queries) and round_i % eval_every_r == 0
+            if (eval_due or round_i - last_sync_r >= sync_every_r
+                    or step_i >= total_steps
+                    or (ckpt_manager is not None and ckpt_every
+                        and step_i - last_ckpt >= ckpt_every)):
+                sync_point(params, eval_due=eval_due)
+                last_sync_r = round_i
+                if check_conv(multi_series, multi_w, cfg.tol):
+                    break
+        flush()
+        if val_queries and not val_history:
+            do_eval(params)
     finally:
         ex.shutdown(wait=False, cancel_futures=True)
+    t_train = time.perf_counter() - t_loop0
     if best_val < 0:
         best_params = params
     return TrainResult(

@@ -137,6 +137,47 @@ def save_queries(path: str | Path, schema: Schema, queries: list[Query]) -> None
     (path / "manifest.json").write_text(json.dumps(manifest, indent=1))
 
 
+def save_query_arrays(path: str | Path, schema: Schema,
+                      arrays_list: list[dict]) -> None:
+    """Serialize native-sampler SoA arrays (native/binding.py::
+    native_sample_arrays / native_all_edges_1p output) straight to the
+    stream pipeline's npz-shard format — the beyond-RAM dataset producer:
+    millions of queries never transit python Query objects. Shards are
+    MIXED-FORMULA (per-row `rels` stored in the npz; manifest rels_ids is
+    empty), which data/grain_pipeline.py::QueryShardSource understands.
+
+    Appends to an existing manifest if one is present, so per-structure
+    shards can be written incrementally."""
+    from graphqembed_tpu.data.queries import STRUCT_SHAPE
+
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    mpath = path / "manifest.json"
+    manifest = json.loads(mpath.read_text()) if mpath.exists() else []
+    base = len(manifest)
+    for i, arrays in enumerate(arrays_list):
+        structure = arrays["structure"]
+        a, r = STRUCT_SHAPE[structure]
+        n = len(arrays["targets"])
+        negs = np.asarray(arrays["negs"], np.int32).copy()
+        cols = np.arange(negs.shape[1])[None, :]
+        negs[cols >= np.asarray(arrays["neg_counts"])[:, None]] = -1
+        hard = np.asarray(arrays["hard"], np.int32).copy()
+        hard[cols[:, :hard.shape[1]]
+             >= np.asarray(arrays["hard_counts"])[:, None]] = -1
+        fname = f"native_{base + i:05d}.npz"
+        np.savez_compressed(
+            path / fname,
+            anchors=np.asarray(arrays["anchors"], np.int32)[:, :a],
+            targets=np.asarray(arrays["targets"], np.int32),
+            negs=negs, hard_negs=hard,
+            rels=np.asarray(arrays["rels"], np.int32)[:, :r])
+        manifest.append({"file": fname, "structure": structure,
+                         "rels": [], "rels_ids": [], "per_row_rels": True,
+                         "count": int(n)})
+    mpath.write_text(json.dumps(manifest, indent=1))
+
+
 def load_queries_by_formula(path: str | Path) -> dict:
     """Queries organized by formula — the reference's load_queries_by_formula
     [R: netquery/data_utils.py (conf=H)]: {structure: {formula: [Query]}}."""

@@ -106,6 +106,92 @@ def _generate(schema: Schema, specs: list[tuple[str, str, str]], seed: int,
     return Graph.from_edges(schema, edges)
 
 
+def synthetic_graph_latent(
+    seed: int = 0,
+    scale: float = 1.0,
+    avg_degree: float = 8.0,
+    n_communities: int = 16,
+    affinity_conc: float = 0.85,
+    specs: list[tuple[str, str, str]] | None = None,
+    schema: Schema | None = None,
+) -> Graph:
+    """Bio-shaped KG with PLANTED LATENT STRUCTURE (round-4, VERDICT #4).
+
+    The plain generator's only learnable signal for held-out edges is
+    preferential-attachment popularity, so clean-test AUC is ceilinged at
+    the degree-only baseline (RESULTS_anomaly_3p.md). Here edge formation
+    is driven by latent node COMMUNITIES: every node gets a community
+    c(v) ∈ [K] within its mode; each relation r carries a random affinity
+    map — with probability `affinity_conc` an edge from a node in
+    community c lands in one of two designated target communities
+    A_r(c) ⊂ [K], else anywhere — and the destination within the chosen
+    community is Zipf-weighted (popularity skew preserved). A held-out
+    edge is therefore predictable from OBSERVED structure (the model can
+    recover community geometry from the training edges; bilinear GQE is
+    exactly this model class), while a degree-only scorer sees only the
+    within-community popularity term: clean-test has headroom above the
+    degree ceiling by construction. Deterministic in all arguments."""
+    specs = specs if specs is not None else BIO_RELATION_SPECS
+    schema = schema if schema is not None else synthetic_schema(scale)
+    rng = np.random.default_rng((seed, 0xC0FFEE))
+    k = n_communities
+
+    # node -> community per mode; Zipf weight by within-community rank
+    comm: dict[str, np.ndarray] = {}
+    members: dict[str, list[np.ndarray]] = {}
+    member_w: dict[str, list[np.ndarray]] = {}
+    for m in schema.modes:
+        lo, hi = schema.mode_range(m)
+        c = rng.integers(0, k, size=hi - lo)
+        comm[m] = c
+        members[m] = []
+        member_w[m] = []
+        for ci in range(k):
+            ids = lo + np.nonzero(c == ci)[0]
+            if len(ids) == 0:       # guarantee non-empty communities
+                ids = np.array([lo + ci % (hi - lo)])
+            members[m].append(ids)
+            w = 1.0 / (1.0 + np.arange(len(ids)))
+            member_w[m].append(np.cumsum(w / w.sum()))
+
+    edges: dict[Relation, np.ndarray] = {}
+    for spec in specs:
+        rel: Relation = tuple(spec)  # type: ignore[assignment]
+        flo, fhi = schema.mode_range(rel[0])
+        n_from = fhi - flo
+        # per-relation affinity: each source community prefers TWO target
+        # communities (a sparse, recoverable map), uniform otherwise
+        targets = rng.integers(0, k, size=(k, 2))
+        m_aff = np.full((k, k), (1.0 - affinity_conc) / k)
+        for ci in range(k):
+            m_aff[ci, targets[ci, 0]] += affinity_conc * 0.6
+            m_aff[ci, targets[ci, 1]] += affinity_conc * 0.4
+        m_aff /= m_aff.sum(axis=1, keepdims=True)
+        cdf = np.cumsum(m_aff, axis=1)
+
+        degs = 1 + rng.poisson(max(avg_degree - 1.0, 0.1), size=n_from)
+        total = int(degs.sum())
+        srcs = np.repeat(np.arange(flo, fhi), degs)
+        c_src = comm[rel[0]][srcs - flo]
+        u = rng.random(total)
+        c_dst = (u[:, None] > cdf[c_src]).sum(axis=1)
+        # destination within community: Zipf rank via inverse-CDF
+        dsts = np.empty(total, np.int64)
+        u2 = rng.random(total)
+        for ci in range(k):
+            sel = c_dst == ci
+            if not sel.any():
+                continue
+            cw = member_w[rel[2]][ci]
+            ranks = np.searchsorted(cw, u2[sel])
+            dsts[sel] = members[rel[2]][ci][np.minimum(ranks, len(cw) - 1)]
+        if rel[0] == rel[2]:
+            keep = srcs != dsts
+            srcs, dsts = srcs[keep], dsts[keep]
+        edges[rel] = np.stack([srcs, dsts], axis=1)
+    return Graph.from_edges(schema, edges)
+
+
 def holdout_edges(
     graph: Graph, frac: float, seed: int
 ) -> tuple[Graph, list[tuple[int, Relation, int]]]:

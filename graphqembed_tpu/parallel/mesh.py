@@ -71,6 +71,15 @@ def param_shardings(params: dict, mesh: Mesh) -> dict:
     def col(ndim):  # shard the LAST (output-feature) dim
         return NamedSharding(mesh, P(*((None,) * (ndim - 1) + ("model",))))
 
+    def check_div(keys, x, dim):
+        n_model = mesh.shape["model"]
+        if x.shape[dim] % n_model:
+            raise ValueError(
+                f"param {'/'.join(map(str, keys))} dim {dim} "
+                f"(= {x.shape[dim]}) is not divisible by the 'model' mesh "
+                f"axis ({n_model}); pick embed_dim a multiple of n_model "
+                f"or a smaller model axis")
+
     def spec(path, x):
         keys = tuple(getattr(p, "key", None) for p in path)
         if keys and keys[0] == "table":
@@ -79,8 +88,10 @@ def param_shardings(params: dict, mesh: Mesh) -> dict:
             return rs
         if keys[:2] in {("proj", "W"), ("proj", "r"), ("proj", "w"),
                         ("inter", "pre")}:
+            check_div(keys, x, x.ndim - 1)
             return col(x.ndim)
         if keys[:2] == ("inter", "post"):
+            check_div(keys, x, 1)
             return NamedSharding(mesh, P(None, "model", None))
         return rs
 

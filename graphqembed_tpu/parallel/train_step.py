@@ -55,12 +55,32 @@ def make_sharded_train_step(cfg: GQEConfig, optimizer, mesh, params_like: dict):
             tuple(p.key for p in path if hasattr(p, "key")), s),
         ps)
 
+    # shapes of params whose sharding is NOT replicated — used to catch
+    # opt-state leaves that silently fall back to replicated (ADVICE r03:
+    # an optimizer wrapping param-shaped state under non-dict containers
+    # would replicate a table-sized moment without a word)
+    _sharded_shapes = {
+        tuple(x.shape)
+        for x, s in zip(jax.tree.leaves(params_like), jax.tree.leaves(ps))
+        if getattr(s, "spec", None) not in (None,) and s != rep
+    }
+
     def opt_shardings(opt_state):
+        import warnings
+
         def leaf_spec(path, x):
             keys = tuple(p.key for p in path if hasattr(p, "key"))
             for i in range(len(keys)):
                 if keys[i:] in _pmap:
                     return _pmap[keys[i:]]
+            if hasattr(x, "shape") and tuple(x.shape) in _sharded_shapes:
+                warnings.warn(
+                    f"opt-state leaf at {keys or path} has the shape of a "
+                    f"SHARDED param {tuple(x.shape)} but resolved to "
+                    "replicated — a wrapped/chained optimizer carrying "
+                    "param-shaped state outside dict containers loses its "
+                    "sharding; it will be replicated on every device",
+                    stacklevel=2)
             return rep
         return jax.tree.map_with_path(
             leaf_spec, opt_state, is_leaf=lambda x: hasattr(x, "ndim"))

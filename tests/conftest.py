@@ -51,19 +51,42 @@ if not _ENV_OK and os.environ.get("_GQE_TEST_REEXEC") != "1":
     import stat
 
     data = out.encode()
+
+    def try_write(fd, st) -> bool:
+        try:
+            os.write(fd, data)
+            return True
+        except OSError:
+            return False
+
+    # Prefer FIFO/chardev fds (the dup'd terminal stdout — the common case)
+    # over regular files: an unrelated writable regular file at a lower fd
+    # (a --junitxml report, coverage data, a log) would both swallow the
+    # output and be corrupted at its current offset. The regular-file
+    # fallback (the `pytest > log` case; the redirect target is not
+    # identifiable once pytest has re-pointed fd 1 at its capture temp)
+    # seeks to END first so a mis-chosen report file is appended to, never
+    # overwritten mid-file.
+    fds = []
     for fd in range(3, 64):
         try:
-            st = os.fstat(fd)
-            ok = (stat.S_ISFIFO(st.st_mode) or stat.S_ISCHR(st.st_mode)
-                  or (stat.S_ISREG(st.st_mode) and st.st_nlink > 0
-                      and (fcntl.fcntl(fd, fcntl.F_GETFL)
-                           & (os.O_WRONLY | os.O_RDWR))))
-            if not ok:
-                continue
-            os.write(fd, data)
+            fds.append((fd, os.fstat(fd)))
         except OSError:
             continue
-        os._exit(proc.returncode)
+    for fd, st in fds:
+        if stat.S_ISFIFO(st.st_mode) or stat.S_ISCHR(st.st_mode):
+            if try_write(fd, st):
+                os._exit(proc.returncode)
+    for fd, st in fds:
+        if (stat.S_ISREG(st.st_mode) and st.st_nlink > 0
+                and (fcntl.fcntl(fd, fcntl.F_GETFL)
+                     & (os.O_WRONLY | os.O_RDWR))):
+            try:
+                os.lseek(fd, 0, os.SEEK_END)
+            except OSError:
+                continue
+            if try_write(fd, st):
+                os._exit(proc.returncode)
     pytest.exit(out, returncode=proc.returncode)
 
 # persistent compile cache: repeat test runs skip XLA compilation
