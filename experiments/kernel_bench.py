@@ -47,15 +47,26 @@ def slope_time(run, state, consts, reps=2, target_s=2.5):
     t_a, t_b = timed(200), timed(2200)
     est = max((t_b - t_a) / 2000, 1e-8)
     base = int(np.clip(target_s / est / 11, 200, 500_000))
-    sizes = (base, 6 * base, 11 * base)
-    points = []
-    for _ in range(reps):
-        for n in sizes:
-            points.append((n, timed(n)))
-    slopes = [(tj - ti) / (nj - ni)
-              for i, (ni, ti) in enumerate(points)
-              for nj, tj in points[i + 1:] if nj != ni]
-    return float(np.median(slopes))
+    # spike guard (shared policy with training/profiling.py::
+    # fenced_theil_sen): non-positive or high-IQR slopes mean a tunnel
+    # spike poisoned the window set — widen and retry, never report them
+    for attempt in range(4):
+        sizes = (base, 6 * base, 11 * base)
+        points = []
+        for _ in range(reps):
+            for n in sizes:
+                points.append((n, timed(n)))
+        slopes = np.array([(tj - ti) / (nj - ni)
+                           for i, (ni, ti) in enumerate(points)
+                           for nj, tj in points[i + 1:] if nj != ni])
+        med = float(np.median(slopes))
+        q1, q3 = np.percentile(slopes, [25, 75])
+        if med > 0 and (q3 - q1) / med <= 0.35:
+            return med
+        base *= 2
+    raise RuntimeError(
+        f"slope_time: no stable positive slope after widening "
+        f"(last median {med}) — tunnel interference")
 
 
 def iterate(step):

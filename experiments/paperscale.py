@@ -206,6 +206,8 @@ def main():
                    "compute_dtype": cfg.compute_dtype,
                    "storage_dtype": cfg.storage_dtype},
         "train_queries_per_sec_per_chip": round(res.queries_per_sec, 1),
+        "phase_timings_s": {k: round(v, 1)
+                            for k, v in (res.timings or {}).items()},
         "val_auc": r(val_auc), "val_auc_hard": r(val_hard),
         "val_apr": r(val_apr), "clean_test_auc": r(test_auc),
         "pool_build_s": round(t_pools, 1),

@@ -6,7 +6,6 @@ from __future__ import annotations
 
 import json
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
@@ -15,20 +14,12 @@ import numpy as np
 
 
 def slope(run, windows=(200, 800, 1600), reps=2):
-    import jax
+    # spike-guarded shared harness (training/profiling.py): auto-widens
+    # windows until the slope is positive with bounded IQR
+    from graphqembed_tpu.training.profiling import fenced_theil_sen
 
-    run(50)
-    pts = []
-    for _ in range(reps):
-        for n in windows:
-            t0 = time.perf_counter()
-            out = run(n)
-            jax.block_until_ready(out)
-            float(np.asarray(out).reshape(-1)[0])
-            pts.append((n, time.perf_counter() - t0))
-    sl = [(tj - ti) / (nj - ni) for i, (ni, ti) in enumerate(pts)
-          for nj, tj in pts[i + 1:] if nj != ni]
-    return float(np.median(sl))
+    s, _ = fenced_theil_sen(run, windows=windows, reps=reps, warmup=50)
+    return s
 
 
 def main():

@@ -38,15 +38,22 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_TILE = 512  # max rows per grid step
+_TILE = 512        # max rows per grid step (f32 leaves)
+_TILE_BF16 = 2048  # bf16 leaves: half the bytes/row -> bigger tiles fit
+                   # VMEM, and tile size is where the r03 "SR kernel 20%
+                   # under its control" gap lived: 440-row tiles 598 GB/s,
+                   # 880 -> 706, 1760 -> 736 GB/s (v5e, N=35200x128) — at
+                   # parity with the XLA bf16 optax chain's 746
 
 
-def _pick_tile(m: int) -> int:
-    """Largest multiple-of-8 divisor of m, capped at _TILE. Tile size is a
-    first-order cost: the naive ladder (512/256/64/8) dropped a 35200-row
-    table to 64-row tiles — 550 grid steps whose per-step overhead tripled
-    kernel time (measured 252 µs → 105 µs at tile 440 on v5e)."""
-    for t in range(min(_TILE, m), 7, -1):
+def _pick_tile(m: int, dtype=None) -> int:
+    """Largest multiple-of-8 divisor of m, capped by dtype (see _TILE*).
+    Tile size is a first-order cost in BOTH directions: the naive ladder
+    (512/256/64/8) dropped a 35200-row table to 64-row tiles — 550 grid
+    steps whose per-step overhead tripled kernel time — and capping bf16
+    tiles at 512 left ~20% of HBM bandwidth on the table (numbers above)."""
+    cap = _TILE_BF16 if dtype == jnp.bfloat16 else _TILE
+    for t in range(min(cap, m), 7, -1):
         if t % 8 == 0 and m % t == 0:
             return t
     return 8 if m % 8 == 0 else 1
@@ -135,7 +142,7 @@ def fused_adam_leaf_sr(p: jnp.ndarray, g: jnp.ndarray, mu: jnp.ndarray,
     d = shape[-1] if p.ndim > 1 else shape[0]
     m = p.size // d
     view = (m, d)
-    tile = _pick_tile(m)
+    tile = _pick_tile(m, jnp.bfloat16)
     tf = count.astype(jnp.float32)
     scalars = jnp.stack([
         jnp.float32(lr), jnp.float32(b1), jnp.float32(b2), jnp.float32(eps),
@@ -269,7 +276,7 @@ def presort_row_ids(ids: jnp.ndarray, n: int) -> tuple:
     matches a tile row) and order L (pointing at the caller's appended zero
     grad row)."""
     l = ids.shape[-1]
-    tile = _pick_tile(n)
+    tile = _pick_tile(n, jnp.bfloat16)
     order = jnp.argsort(ids, axis=-1)
     sids = jnp.take_along_axis(ids, order, axis=-1)
     pad = rows_pad(l) - l
@@ -319,7 +326,7 @@ def fused_adam_table_sorted_rows_sr(p, mu, nu, sorted_ids, sorted_rows,
     padding), tile_starts [n_tiles+1]."""
     assert p.dtype == jnp.bfloat16, p.dtype
     n, d = p.shape
-    tile = _pick_tile(n)
+    tile = _pick_tile(n, jnp.bfloat16)
     n_tiles = n // tile
     assert tile_starts.shape[-1] == n_tiles + 1
     sids = sorted_ids
@@ -388,7 +395,7 @@ def fused_adam_leaf(p: jnp.ndarray, g: jnp.ndarray, mu: jnp.ndarray,
     d = shape[-1] if p.ndim > 1 else shape[0]
     m = p.size // d
     view = (m, d)
-    tile = _pick_tile(m)
+    tile = _pick_tile(m, p.dtype)
     tf = count.astype(jnp.float32)
     scalars = jnp.stack([
         jnp.float32(lr), jnp.float32(b1), jnp.float32(b2), jnp.float32(eps),

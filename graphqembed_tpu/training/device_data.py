@@ -669,6 +669,9 @@ def run_train_device_mega(cfg: GQEConfig, schema: Schema, params: dict,
     dispatch_i = 0
     actual_burn_in = 0
     t_train = 0.0
+    t_eval = 0.0
+    t_ckpt = 0.0
+    t_pool_wait = 0.0
     last_ckpt = 0
 
     if resume and ckpt_manager is not None:
@@ -701,15 +704,17 @@ def run_train_device_mega(cfg: GQEConfig, schema: Schema, params: dict,
         return p, o, ml
 
     def maybe_ckpt(phase: str):
-        nonlocal last_ckpt
+        nonlocal last_ckpt, t_ckpt
         if ckpt_manager is not None and ckpt_every and \
                 done - last_ckpt >= ckpt_every:
+            tc = time.time()
             ckpt_manager.save_state(
                 done,
                 {"params": params, "opt_state": opt_state,
                  "best_params": best_params},
                 extra={"dispatch_i": dispatch_i, "best_macro": best_macro,
                        "burn_in_steps": actual_burn_in, "phase": phase})
+            t_ckpt += time.time() - tc
             last_ckpt = done
 
     # --- burn-in (1p only), chunked so convergence/ckpt apply ---
@@ -731,7 +736,10 @@ def run_train_device_mega(cfg: GQEConfig, schema: Schema, params: dict,
 
     # --- merge deferred pools (overlapped with burn-in on the device) ---
     if deferred_pools is not None:
-        for s, pool in deferred_pools().items():
+        tw = time.time()
+        merged = deferred_pools()
+        t_pool_wait = time.time() - tw
+        for s, pool in merged.items():
             data.pools[s] = pool
             data.weights[s] = int(pool.n)
             losses.setdefault(s, [])
@@ -749,8 +757,10 @@ def run_train_device_mega(cfg: GQEConfig, schema: Schema, params: dict,
         params, opt_state, ml = dispatch(mega_all, rounds, data.structures)
         multi_series.extend(ml.mean(axis=1).tolist())
         if val_queries:
+            te = time.time()
             aucs = eval_auc(cfg, params, schema, val_queries, seed=cfg.seed,
                             neighbor_tables=neighbor_tables)
+            t_eval += time.time() - te
             macro = aucs.get("macro", 0.0)
             val_history.append((done, macro))
             if macro > best_macro:
@@ -779,6 +789,8 @@ def run_train_device_mega(cfg: GQEConfig, schema: Schema, params: dict,
         losses=losses,
         val_history=val_history,
         queries_per_sec=(done * cfg.batch_size / t_train) if t_train else 0.0,
+        timings={"train_s": t_train, "eval_s": t_eval, "ckpt_s": t_ckpt,
+                 "pool_wait_s": t_pool_wait},
     )
 
 

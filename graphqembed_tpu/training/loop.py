@@ -161,6 +161,10 @@ class TrainResult:
     losses: dict[str, list[float]]
     val_history: list[tuple[int, float]]
     queries_per_sec: float
+    # optional phase decomposition (seconds): train dispatches, eval
+    # dispatches, checkpoint writes, deferred-pool wait — the
+    # sustained-vs-bench accounting instrument (device mega pipeline)
+    timings: dict | None = None
 
 
 def structure_weight(cfg: GQEConfig, structure: str) -> float:

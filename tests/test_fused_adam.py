@@ -270,11 +270,13 @@ def test_presort_row_ids_invariants():
         rows_pad,
     )
 
+    import jax.numpy as jnp
+
     rng = np.random.default_rng(0)
     n, L = 880, 96
     ids = jnp.asarray(rng.integers(0, n, size=(3, L)).astype(np.int32))
     sids, order, starts = presort_row_ids(ids, n)
-    tile = _pick_tile(n)
+    tile = _pick_tile(n, jnp.bfloat16)
     assert sids.shape == (3, rows_pad(L)) == order.shape
     assert starts.shape == (3, n // tile + 1)
     for b in range(3):
