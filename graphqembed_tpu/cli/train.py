@@ -27,8 +27,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="use the deterministic synthetic bio-schema KG")
     p.add_argument("--synthetic_scale", type=float, default=1.0)
     p.add_argument("--dataset", type=str, default="bio",
-                   choices=["bio", "reddit"],
-                   help="synthetic schema family (the two paper benchmarks)")
+                   choices=["bio", "reddit", "bio-latent"],
+                   help="synthetic schema family (the two paper benchmarks; "
+                        "bio-latent plants recoverable community structure "
+                        "— graph/synthetic.py::synthetic_graph_latent)")
     p.add_argument("--n_train_queries", type=int, default=2000,
                    help="per structure, when sampling on the fly (synthetic)")
     p.add_argument("--n_val_queries", type=int, default=200)
@@ -82,12 +84,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "pipeline — the fast production path (~9x on a "
                         "tunneled chip); both support convergence stopping, "
                         "checkpoints/--resume, and --depth > 0. stream: "
-                        "beyond-RAM grain loader over the saved npz shards "
-                        "in --data_dir (host schedule, per-row batches). "
+                        "beyond-RAM windowed HBM staging over the saved npz "
+                        "shards in --data_dir (device mega schedule, "
+                        "double-buffered host assembly; supports bf16 "
+                        "storage and --depth > 0). "
                         "onthefly: pool-free — every batch is SAMPLED ON "
                         "DEVICE inside the compiled scan (all 7 structures; "
-                        "type-range negatives); train queries are never "
-                        "materialized")
+                        "type-range + partial-branch hard negatives); train "
+                        "queries are never materialized")
     p.add_argument("--ckpt_every", type=int, default=0,
                    help="save full train state every N steps (0 = off)")
     p.add_argument("--resume", action="store_true",
@@ -117,7 +121,9 @@ def load_dataset(args, skip_train: bool = False):
     from graphqembed_tpu.config import STRUCTURES
 
     if args.synthetic or args.data_dir is None:
-        gen = reddit_graph if args.dataset == "reddit" else synthetic_graph
+        from graphqembed_tpu.graph.synthetic import synthetic_graph_latent
+        gen = {"reddit": reddit_graph, "bio": synthetic_graph,
+               "bio-latent": synthetic_graph_latent}[args.dataset]
         graph = gen(seed=args.seed, scale=args.synthetic_scale,
                     avg_degree=8.0)
         s = QuerySampler(graph, np.random.default_rng(args.seed), max_negs=50)
@@ -207,20 +213,14 @@ def main(argv=None):
         if args.data_dir is None:
             raise SystemExit("--pipeline stream needs --data_dir with saved "
                              "npz query shards (gqe-sample output)")
-        if cfg.depth > 0:
-            raise SystemExit("--pipeline stream does not support --depth > 0;"
-                             " use --pipeline host or device")
         from graphqembed_tpu.data.grain_pipeline import run_train_stream
         res = run_train_stream(
             cfg, graph.schema, params, Path(args.data_dir) / "train_queries",
-            val_queries=val, ckpt_manager=mgr,
+            val_queries=val, neighbor_tables=tables, ckpt_manager=mgr,
             ckpt_every=args.ckpt_every, resume=args.resume,
             log=lambda step, s, l: logging.info(
                 "step %d [%s] loss %.4f", step, s, l))
     elif args.pipeline == "onthefly":
-        if cfg.depth > 0:
-            raise SystemExit("--pipeline onthefly does not support --depth>0;"
-                             " use --pipeline host or device")
         from graphqembed_tpu.training.device_sampler import (
             DeviceGraph,
             run_train_onthefly,
@@ -230,7 +230,7 @@ def main(argv=None):
         steps_per = dispatch_steps_per(args.max_iter)
         res = run_train_onthefly(
             cfg, graph.schema, params, dg, val_queries=val,
-            steps_per=steps_per, ckpt_manager=mgr,
+            steps_per=steps_per, neighbor_tables=tables, ckpt_manager=mgr,
             ckpt_every=args.ckpt_every, resume=args.resume,
             log=lambda step, s, l: (
                 logging.info("step %d [%s] loss %.4f", step, s, l),

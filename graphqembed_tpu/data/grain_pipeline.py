@@ -1,12 +1,24 @@
-"""grain-based input pipeline (SURVEY.md §8: "sampling is offline (grain
-pipeline)"): deterministic, checkpointable host-side batch streaming from
-saved native query sets.
+"""Beyond-RAM input pipeline (SURVEY.md §8: "sampling is offline (grain
+pipeline)"): deterministic, checkpointable streaming from saved npz query
+shards.
 
-Where TrainData (training/loop.py) holds everything in RAM and DeviceTrainData
-uploads everything to HBM, this pipeline targets the beyond-RAM regime:
-per-formula npz shards on disk, a grain MapDataset over (formula, row) pairs
-with seeded global shuffle, worker-parallel batch assembly, and grain's
-iterator checkpointing for exactly-once resume.
+Where TrainData (training/loop.py) holds everything in RAM and
+DeviceTrainData uploads everything to HBM, this pipeline targets the
+beyond-RAM regime. Two layers:
+
+- `make_query_loader` / `QueryShardSource`: a grain DataLoader over the
+  shards — the general-purpose per-record API (shuffle, batching, grain
+  iterator checkpointing).
+- `run_train_stream`: the PRODUCTION trainer — windowed HBM staging.
+  `NpzStructureStream` assembles fixed-size per-structure windows with
+  vectorized numpy fancy-indexing (grain's per-record python path tops out
+  ~40k records/s, starving the chip), `WindowPacker` ships a window set as
+  ONE packed H2D transfer, a background thread double-buffers assembly +
+  upload behind the scan mega-step, and losses drain at shallow sync
+  points (the tunneled chip stalls if many dispatches queue before a value
+  read). Resume is exactly-once: stream state is (epoch, pos) over seeded
+  per-epoch permutations, snapshotted BEFORE each window draw. Measured
+  678-811k queries/s/chip sustained (RESULTS_stream.md).
 """
 
 from __future__ import annotations
@@ -338,10 +350,10 @@ def _window_arrays(batches: list[dict], structure: str, tmode) -> dict:
 def run_train_stream(cfg, schema, params, data_dir, val_queries=None,
                      total_steps: int | None = None,
                      burn_in_steps: int | None = None, seed: int | None = None,
-                     worker_count: int = 0, log=None,
+                     log=None,
                      ckpt_manager=None, ckpt_every: int = 0,
                      resume: bool = False, steps_per: int = 50,
-                     optimizer=None):
+                     optimizer=None, neighbor_tables=None):
     """Beyond-RAM training with WINDOWED HBM STAGING: grain streams on-disk
     npz query shards into fixed-size per-structure device windows
     (cfg.stream_window records each), the scan mega-step
@@ -412,7 +424,10 @@ def run_train_stream(cfg, schema, params, data_dir, val_queries=None,
 
     optimizer = optimizer or default_optimizer(cfg)
     opt_state = optimizer.init(params)
-    scan = make_scan_train_step(cfg, optimizer)
+    # neighbor_tables threads the depth>0 SAGE encoder into the scan
+    # (models/encoders.py) — same mechanism as the device pipeline
+    scan = make_scan_train_step(cfg, optimizer,
+                                neighbor_tables=neighbor_tables)
     master_key = jax.random.key(seed)
 
     def snapshot_iters() -> dict:

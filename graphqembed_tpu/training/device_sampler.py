@@ -307,7 +307,8 @@ def sample_structure_batch(dg: DeviceGraph, key: jax.Array, b: int,
     raise ValueError(structure)
 
 
-def make_onthefly_train_step(cfg, optimizer, dg: DeviceGraph):
+def make_onthefly_train_step(cfg, optimizer, dg: DeviceGraph,
+                             neighbor_tables=None):
     """Pool-free scan mega-step: each scan iteration SAMPLES its batch on
     device (sample_structure_batch) and takes one train step on it —
     sampling and training fused in one compiled program, zero host
@@ -334,8 +335,8 @@ def make_onthefly_train_step(cfg, optimizer, dg: DeviceGraph):
         static_argnames=("structure", "n_steps", "use_hard"),
         donate_argnames=("params", "opt_state"),
     )
-    def scan_fn(params, opt_state, dg, structure, key, n_steps, weight,
-                use_hard):
+    def scan_fn(params, opt_state, dg, tables, structure, key, n_steps,
+                weight, use_hard):
         def body(carry, t):
             params, opt_state = carry
             k = jax.random.fold_in(key, t)
@@ -345,6 +346,15 @@ def make_onthefly_train_step(cfg, optimizer, dg: DeviceGraph):
                 neg = jnp.where(_hard_step(cfg, t), hard_neg, neg)
 
             def loss_fn(p):
+                if cfg.depth > 0 and tables is not None:
+                    from graphqembed_tpu.models.encoders import (
+                        make_deep_encoder,
+                    )
+                    encode_fn = make_deep_encoder(cfg, p, tables, cfg.depth,
+                                                  cfg.aggregator)
+                    return weight * gqe.margin_loss_rows(
+                        cfg, p, structure, anchors, rels, modes, tgt, neg,
+                        mask, encode_fn=encode_fn)
                 return weight * gqe.margin_loss_rows_onegather(
                     cfg, p, structure, anchors, rels, modes, tgt, neg, mask)
 
@@ -359,8 +369,8 @@ def make_onthefly_train_step(cfg, optimizer, dg: DeviceGraph):
 
     def run(params, opt_state, structure: str, key, n_steps: int,
             weight: float, use_hard: bool = False):
-        return scan_fn(params, opt_state, dg, structure, key, n_steps,
-                       np.float32(weight), bool(use_hard))
+        return scan_fn(params, opt_state, dg, neighbor_tables, structure,
+                       key, n_steps, np.float32(weight), bool(use_hard))
 
     return run
 
@@ -370,7 +380,7 @@ def run_train_onthefly(cfg, schema, params, dg: DeviceGraph,
                        burn_in_steps: int | None = None,
                        steps_per: int = 100, key=None, optimizer=None,
                        log=None, ckpt_manager=None, ckpt_every: int = 0,
-                       resume: bool = False):
+                       resume: bool = False, neighbor_tables=None):
     """Production driver for the pool-free pipeline (`gqe-train --pipeline
     onthefly`): burn-in (1p) then weighted multitask over all 7 structures,
     every batch sampled ON DEVICE inside the compiled scan — the
@@ -403,7 +413,8 @@ def run_train_onthefly(cfg, schema, params, dg: DeviceGraph,
     optimizer = optimizer or default_optimizer(cfg)
     opt_state = optimizer.init(params)
     key = key if key is not None else jax.random.key(cfg.seed)
-    step_fn = make_onthefly_train_step(cfg, optimizer, dg)
+    step_fn = make_onthefly_train_step(cfg, optimizer, dg,
+                                       neighbor_tables=neighbor_tables)
     structures = list(STRUCTURES)
     losses: dict[str, list[float]] = {s: [] for s in structures}
     burn_series: list[float] = []
@@ -493,7 +504,8 @@ def run_train_onthefly(cfg, schema, params, dg: DeviceGraph,
                                                 total_steps - done)))
         multi_series.append(float(np.mean(round_losses)))
         if val_queries and done >= next_eval:
-            aucs = eval_auc(cfg, params, schema, val_queries, seed=cfg.seed)
+            aucs = eval_auc(cfg, params, schema, val_queries, seed=cfg.seed,
+                            neighbor_tables=neighbor_tables)
             macro = aucs.get("macro", 0.0)
             val_history.append((done, macro))
             if macro > best_macro:
@@ -505,7 +517,8 @@ def run_train_onthefly(cfg, schema, params, dg: DeviceGraph,
             break
     maybe_ckpt(force=True)  # final state (resume-to-completion lands here)
     if val_queries and not val_history:
-        aucs = eval_auc(cfg, params, schema, val_queries, seed=cfg.seed)
+        aucs = eval_auc(cfg, params, schema, val_queries, seed=cfg.seed,
+                        neighbor_tables=neighbor_tables)
         best_macro = aucs.get("macro", 0.0)
         val_history.append((done, best_macro))
         best_params = params

@@ -132,3 +132,75 @@ def test_run_train_stream_resume_bitwise(graph, tmp_path):
     for a, b in zip(jax.tree.leaves(res_full.params),
                     jax.tree.leaves(res_resumed.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_run_train_stream_deep_encoder(graph, tmp_path):
+    """--depth > 0 through the stream pipeline: the SAGE encoder threads
+    into the windowed scan (neighbor_tables) and a short run learns 1p
+    above chance."""
+    import jax
+
+    from graphqembed_tpu.config import GQEConfig
+    from graphqembed_tpu.data.grain_pipeline import run_train_stream
+    from graphqembed_tpu.data.sampling import QuerySampler
+    from graphqembed_tpu.models.encoders import (
+        NeighborTables,
+        init_encoder_params,
+    )
+    from graphqembed_tpu.models.params import init_params
+    from graphqembed_tpu.training import eval_auc
+
+    s = QuerySampler(graph, np.random.default_rng(3), max_negs=10)
+    save_queries(tmp_path, graph.schema, s.sample_many("1p", 400))
+    cfg = GQEConfig(embed_dim=32, projection="transe", batch_size=64,
+                    lr=0.05, seed=1, depth=1, val_every=10**9, tol=0.0,
+                    conv_window=10**6)
+    tables = NeighborTables.build(graph, sample_size=4, seed=0)
+    params = init_params(cfg, graph.schema, jax.random.key(0))
+    params["encoder"] = init_encoder_params(cfg, graph.schema,
+                                            jax.random.key(1))
+    res = run_train_stream(cfg, graph.schema, params, tmp_path,
+                           total_steps=400, burn_in_steps=400,
+                           neighbor_tables=tables)
+    assert res.steps == 400
+    val = s.sample_many("1p", 80)
+    aucs = eval_auc(cfg, res.params, graph.schema, val,
+                    neighbor_tables=tables)
+    assert aucs["1p"] > 0.55, aucs
+
+
+def test_run_train_onthefly_deep_encoder(graph):
+    """--depth > 0 through the onthefly pipeline: SAGE encoding composes
+    with on-device sampling inside the compiled scan."""
+    import jax
+
+    from graphqembed_tpu.config import GQEConfig
+    from graphqembed_tpu.models.encoders import (
+        NeighborTables,
+        init_encoder_params,
+    )
+    from graphqembed_tpu.models.params import init_params
+    from graphqembed_tpu.training import eval_auc
+    from graphqembed_tpu.data.sampling import QuerySampler
+    from graphqembed_tpu.training.device_sampler import (
+        DeviceGraph,
+        run_train_onthefly,
+    )
+
+    cfg = GQEConfig(embed_dim=32, projection="transe", batch_size=64,
+                    lr=0.05, seed=1, depth=1, val_every=10**9, tol=0.0,
+                    conv_window=10**6)
+    dg = DeviceGraph.build(graph, sample_size=4, seed=0)
+    tables = NeighborTables.build(graph, sample_size=4, seed=0)
+    params = init_params(cfg, graph.schema, jax.random.key(0))
+    params["encoder"] = init_encoder_params(cfg, graph.schema,
+                                            jax.random.key(1))
+    res = run_train_onthefly(cfg, graph.schema, params, dg,
+                             total_steps=400, burn_in_steps=400,
+                             steps_per=50, neighbor_tables=tables)
+    assert res.steps == 400
+    s = QuerySampler(graph, np.random.default_rng(3), max_negs=10)
+    val = s.sample_many("1p", 80)
+    aucs = eval_auc(cfg, res.params, graph.schema, val,
+                    neighbor_tables=tables)
+    assert aucs["1p"] > 0.55, aucs
