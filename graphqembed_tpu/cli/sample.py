@@ -20,7 +20,7 @@ def main(argv=None):
     p.add_argument("--out_dir", type=str, required=True)
     p.add_argument("--synthetic_scale", type=float, default=1.0)
     p.add_argument("--dataset", type=str, default="bio",
-                   choices=["bio", "reddit"])
+                   choices=["bio", "reddit", "bio-latent"])
     p.add_argument("--n_train", type=int, default=2000, help="per structure")
     p.add_argument("--n_val", type=int, default=200)
     p.add_argument("--n_test", type=int, default=200)
@@ -29,6 +29,14 @@ def main(argv=None):
     p.add_argument("--n_workers", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--structures", type=str, default="all")
+    p.add_argument("--native", action="store_true",
+                   help="sample the TRAIN set with the C++ sampler and "
+                        "write mixed-formula npz shards directly "
+                        "(save_query_arrays) — the beyond-RAM producer: "
+                        "~100x the python sampler, queries never transit "
+                        "python objects. val/test keep the exact python "
+                        "sampler (clean-test filtering + exhaustive "
+                        "negatives).")
     args = p.parse_args(argv)
 
     from graphqembed_tpu.config import STRUCTURES
@@ -36,12 +44,14 @@ def main(argv=None):
         export_reference_pickle,
         import_reference_graph,
         save_queries,
+        save_query_arrays,
     )
     from graphqembed_tpu.data.sampling import QuerySampler, parallel_sample
     from graphqembed_tpu.graph.synthetic import (
         holdout_edges,
         reddit_graph,
         synthetic_graph,
+        synthetic_graph_latent,
     )
 
     structures = (list(STRUCTURES) if args.structures == "all"
@@ -49,7 +59,8 @@ def main(argv=None):
     if args.data_dir:
         graph = import_reference_graph(Path(args.data_dir) / "graph_data.pkl")
     else:
-        gen = reddit_graph if args.dataset == "reddit" else synthetic_graph
+        gen = {"reddit": reddit_graph, "bio": synthetic_graph,
+               "bio-latent": synthetic_graph_latent}[args.dataset]
         graph = gen(seed=args.seed, scale=args.synthetic_scale,
                     avg_degree=8.0)
     train_graph, held = holdout_edges(graph, args.holdout_frac, args.seed)
@@ -58,12 +69,30 @@ def main(argv=None):
     export_reference_pickle(train_graph, out / "graph_data.pkl")
 
     t0 = time.perf_counter()
+    n_train_total = 0
+    if args.native:
+        from graphqembed_tpu.native.binding import native_sample_arrays
+
+        arrs = []
+        for si, st in enumerate(structures):
+            a = native_sample_arrays(train_graph, st, args.n_train,
+                                     seed=args.seed * 1000 + si,
+                                     max_negs=args.max_negs)
+            if a is None:
+                raise SystemExit("--native: C++ sampler unavailable "
+                                 "(build failed?); rerun without --native")
+            arrs.append(a)
+            n_train_total += len(a["targets"])
+            print(f"{st}: native-sampled {len(a['targets'])} "
+                  f"(t={time.perf_counter() - t0:.1f}s)")
+        save_query_arrays(out / "train_queries", graph.schema, arrs)
     train, val, test = [], [], []
     for st in structures:
         # train/val: sampled on the TRAIN graph (no leakage of held-out edges)
-        train += parallel_sample(train_graph, st, args.n_train,
-                                 n_workers=args.n_workers, seed=args.seed,
-                                 max_negs=args.max_negs)
+        if not args.native:
+            train += parallel_sample(train_graph, st, args.n_train,
+                                     n_workers=args.n_workers, seed=args.seed,
+                                     max_negs=args.max_negs)
         sv = QuerySampler(train_graph, np.random.default_rng(args.seed + 1),
                           max_negs=args.max_negs)
         val += sv.sample_many(st, args.n_val)
@@ -74,10 +103,12 @@ def main(argv=None):
         test += stest.sample_many(st, args.n_test, exhaustive_negs=True,
                                   train_graph=train_graph)
         print(f"{st}: sampled (t={time.perf_counter() - t0:.1f}s)")
-    save_queries(out / "train_queries", graph.schema, train)
+    if not args.native:
+        save_queries(out / "train_queries", graph.schema, train)
+        n_train_total = len(train)
     save_queries(out / "val_queries", graph.schema, val)
     save_queries(out / "test_queries", graph.schema, test)
-    print(f"wrote {len(train)} train / {len(val)} val / {len(test)} test "
+    print(f"wrote {n_train_total} train / {len(val)} val / {len(test)} test "
           f"queries to {out}")
     return 0
 

@@ -298,23 +298,6 @@ def intersect_rows_stacked(cfg: GQEConfig, params: Params, z: jnp.ndarray,
     return agg
 
 
-def intersect_rows(cfg: GQEConfig, params: Params, zs: list[jnp.ndarray],
-                   mode_ids: jnp.ndarray) -> jnp.ndarray:
-    """zs each [B, d]; mode_ids [B] per-row intersection mode."""
-    if cfg.learned_intersection:
-        hs = [jax.nn.relu(_gathered_matmul(cfg, z, mode_ids,
-                                           params["inter"]["pre"]))
-              for z in zs]
-    else:
-        hs = zs
-    stacked = jnp.stack(hs)
-    agg = (jnp.min(stacked, axis=0) if cfg.intersection == "min"
-           else jnp.mean(stacked, axis=0))
-    if cfg.learned_intersection:
-        return _gathered_matmul(cfg, agg, mode_ids, params["inter"]["post"])
-    return agg
-
-
 def embed_query_folded(cfg: GQEConfig, params: Params, structure: str,
                        E: jnp.ndarray, rels: jnp.ndarray,
                        inter_modes: jnp.ndarray) -> jnp.ndarray:

@@ -32,7 +32,7 @@ def init_params(cfg: GQEConfig, schema: Schema, key: jax.Array) -> dict:
     params: dict = {
         # normalized at lookup (SURVEY.md §2.3), so unit-variance init is
         # fine. storage_dtype="bfloat16" stores the table (and its Adam
-        # moments, via make_scan_train_step_fused) at half the HBM bytes —
+        # moments, via FusedAdamOpt's SR kernel) at half the HBM bytes —
         # the dense step's dominant traffic term (docs/DESIGN.md §10);
         # gqe.encode upcasts to f32 after the gather.
         "table": jax.random.normal(k_table, (n, d), jnp.float32).astype(

@@ -108,3 +108,38 @@ def test_test_queries_one_neg_full_neg_split(graph, tmp_path):
     c1 = sum(len(g) for fs in views2["one_neg"].values() for g in fs.values())
     c2 = sum(len(g) for fs in views2["full_neg"].values() for g in fs.values())
     assert c1 == c2 == len(qs)
+
+
+def test_save_query_arrays_stream_roundtrip(graph, tmp_path):
+    """Native-sampler SoA arrays -> mixed-formula npz shards ->
+    NpzStructureStream windows: ids/rels/negs survive the trip and every
+    drawn record is a real sampled query."""
+    from graphqembed_tpu.data.grain_pipeline import NpzStructureStream
+    from graphqembed_tpu.data.loader import save_query_arrays
+    from graphqembed_tpu.native.binding import native_sample_arrays
+
+    arr = native_sample_arrays(graph, "2i", 200, seed=0, max_negs=8)
+    if arr is None:
+        import pytest
+        pytest.skip("native sampler unavailable")
+    save_query_arrays(tmp_path, graph.schema, [arr])
+    want = {(tuple(a), int(t)): r
+            for a, t, r in zip(arr["anchors"][:, :2], arr["targets"],
+                               arr["rels"][:, :2].tolist())}
+    stream = NpzStructureStream(tmp_path, "2i", seed=1)
+    batch = stream.draw(64)
+    assert batch["anchors"].shape == (64, 2)
+    assert batch["rels"].shape == (64, 2)
+    for i in range(64):
+        key = (tuple(batch["anchors"][i]), int(batch["target"][i]))
+        assert key in want
+        assert want[key] == batch["rels"][i].tolist()
+        # negative pads are -1-marked, real entries are valid node ids
+        negs = batch["negs"][i]
+        assert ((negs >= -1) & (negs < graph.schema.n_nodes)).all()
+    # exactly-once: state roundtrip replays the same window
+    st = stream.get_state()
+    b1 = stream.draw(32)
+    stream.set_state(st)
+    b2 = stream.draw(32)
+    np.testing.assert_array_equal(b1["target"], b2["target"])
