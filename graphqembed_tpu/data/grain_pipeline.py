@@ -523,7 +523,6 @@ def run_train_stream(cfg, schema, params, data_dir, val_queries=None,
     sync_every = 2
     pending = []   # (phase, round_id, structure, t, device_loss)
     round_i = 0
-    rounds_flushed = 0
     t_loop0 = time.perf_counter()
 
     def dispatch_async(structure, params, opt_state, t, phase):
@@ -544,7 +543,6 @@ def run_train_stream(cfg, schema, params, data_dir, val_queries=None,
         """Drain pending losses (ONE device sync for the whole backlog) into
         the per-structure series; multitask entries aggregate to per-round
         means."""
-        nonlocal rounds_flushed
         if not pending:
             return
         by_round: dict[int, list] = {}
@@ -558,7 +556,6 @@ def run_train_stream(cfg, schema, params, data_dir, val_queries=None,
         pending.clear()
         for ri in sorted(by_round):
             multi_series.append(float(np.mean(by_round[ri])))
-            rounds_flushed = ri + 1
 
     def maybe_ckpt_now():
         if ckpt_manager is not None and ckpt_every and \
@@ -567,7 +564,8 @@ def run_train_stream(cfg, schema, params, data_dir, val_queries=None,
 
     def do_eval(params):
         nonlocal best_val, best_params
-        aucs = eval_auc(cfg, params, schema, val_queries, seed=cfg.seed)
+        aucs = eval_auc(cfg, params, schema, val_queries, seed=cfg.seed,
+                        neighbor_tables=neighbor_tables)
         macro = aucs.get("macro", 0.0)
         val_history.append((step_i, macro))
         if macro > best_val:

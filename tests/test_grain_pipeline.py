@@ -134,6 +134,12 @@ def test_run_train_stream_resume_bitwise(graph, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def dataclasses_replace_val(cfg):
+    import dataclasses
+
+    return dataclasses.replace(cfg, val_every=200)
+
+
 def test_run_train_stream_deep_encoder(graph, tmp_path):
     """--depth > 0 through the stream pipeline: the SAGE encoder threads
     into the windowed scan (neighbor_tables) and a short run learns 1p
@@ -159,11 +165,15 @@ def test_run_train_stream_deep_encoder(graph, tmp_path):
     params = init_params(cfg, graph.schema, jax.random.key(0))
     params["encoder"] = init_encoder_params(cfg, graph.schema,
                                             jax.random.key(1))
-    res = run_train_stream(cfg, graph.schema, params, tmp_path,
-                           total_steps=400, burn_in_steps=400,
-                           neighbor_tables=tables)
-    assert res.steps == 400
     val = s.sample_many("1p", 80)
+    # val_queries exercises the IN-LOOP eval path too (it must thread
+    # neighbor_tables — caught a depth>0 eval bug in review)
+    cfg = dataclasses_replace_val(cfg)
+    res = run_train_stream(cfg, graph.schema, params, tmp_path,
+                           val_queries=val, total_steps=400,
+                           burn_in_steps=400, neighbor_tables=tables)
+    assert res.steps == 400
+    assert res.best_val_auc > 0.55, res.best_val_auc
     aucs = eval_auc(cfg, res.params, graph.schema, val,
                     neighbor_tables=tables)
     assert aucs["1p"] > 0.55, aucs
