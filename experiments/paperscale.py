@@ -30,7 +30,7 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset", type=str, default="bio",
-                    choices=["bio", "reddit", "bio-latent"],
+                    choices=["bio", "reddit", "bio-latent", "reddit-latent"],
                     help="synthetic schema family (the two paper "
                          "benchmarks); reddit uses graph/synthetic.py::"
                          "reddit_graph at the same paper-like node count; "
@@ -61,11 +61,13 @@ def main():
                          "quality guard: RESULTS_storage_bf16.md")
     args = ap.parse_args()
     if args.scale is None:
-        args.scale = 60.0 if args.dataset == "reddit" else 114.0
+        args.scale = 60.0 if args.dataset.startswith("reddit") else 114.0
     if args.out == "RESULTS_bio_paperscale.md" and args.dataset == "reddit":
         args.out = "RESULTS_reddit_paperscale.md"
     if args.out == "RESULTS_bio_paperscale.md" and args.dataset == "bio-latent":
         args.out = "RESULTS_biolatent_paperscale.md"
+    if args.out == "RESULTS_bio_paperscale.md" and args.dataset == "reddit-latent":
+        args.out = "RESULTS_redditlatent_paperscale.md"
     if args.bf16 and "_bf16" not in args.out:  # never clobber the fp32 run
         args.out = args.out.replace(".md", "_bf16.md")
     if args.quick:
@@ -85,6 +87,7 @@ def main():
     from graphqembed_tpu.graph.synthetic import (
         holdout_edges,
         reddit_graph,
+        reddit_graph_latent,
         synthetic_graph,
         synthetic_graph_latent,
     )
@@ -109,7 +112,8 @@ def main():
                     storage_dtype="bfloat16" if args.bf16 else "float32")
 
     gen = {"reddit": reddit_graph, "bio": synthetic_graph,
-           "bio-latent": synthetic_graph_latent}[args.dataset]
+           "bio-latent": synthetic_graph_latent,
+           "reddit-latent": reddit_graph_latent}[args.dataset]
     graph = gen(seed=0, scale=args.scale, avg_degree=args.avg_degree)
     train_graph, held = holdout_edges(graph, frac=0.1, seed=1)
     print(f"graph: {graph.schema.n_nodes} nodes, {graph.num_edges()} edges, "

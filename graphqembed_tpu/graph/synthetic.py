@@ -192,6 +192,15 @@ def synthetic_graph_latent(
     return Graph.from_edges(schema, edges)
 
 
+def reddit_graph_latent(seed: int = 0, scale: float = 1.0,
+                        avg_degree: float = 8.0, **kw) -> Graph:
+    """Reddit-shaped KG with planted latent communities (see
+    synthetic_graph_latent)."""
+    return synthetic_graph_latent(seed, scale, avg_degree,
+                                  specs=REDDIT_RELATION_SPECS,
+                                  schema=reddit_schema(scale), **kw)
+
+
 def holdout_edges(
     graph: Graph, frac: float, seed: int
 ) -> tuple[Graph, list[tuple[int, Relation, int]]]:
