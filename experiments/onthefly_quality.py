@@ -1,0 +1,156 @@
+"""Onthefly vs pool-pipeline quality at mid-scale (VERDICT r03 #3 "done"
+bar: onthefly hard-neg AUC within noise of the pool pipeline's).
+
+Same graph, same budgets, same eval queries (offline exact negatives):
+  - pool/device: exact offline negatives + stored hard negatives
+    (run_train_device_mega over native-sampled pools);
+  - onthefly: every batch sampled ON DEVICE (type-range negatives +
+    partial-branch hard negatives), zero pools.
+
+Reports val macro AUC, hard-negative macro AUC, APR for both. Writes
+RESULTS_onthefly_quality.{md,json}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", type=float, default=12.0)
+    ap.add_argument("--avg_degree", type=float, default=20.0)
+    ap.add_argument("--n_inter", type=int, default=8000)
+    ap.add_argument("--n_val", type=int, default=200)
+    ap.add_argument("--steps", type=int, default=60_000)
+    ap.add_argument("--burn_in", type=int, default=20_000)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_gqe_xla_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from graphqembed_tpu.config import STRUCTURES, GQEConfig
+    from graphqembed_tpu.data.sampling import QuerySampler
+    from graphqembed_tpu.graph.synthetic import synthetic_graph
+    from graphqembed_tpu.models.params import init_params
+    from graphqembed_tpu.native import native_all_edges_1p, native_sample_arrays
+    from graphqembed_tpu.training import eval_apr, eval_auc
+    from graphqembed_tpu.training.device_data import (
+        DeviceTrainData,
+        device_pool_from_arrays,
+        run_train_device_mega,
+    )
+    from graphqembed_tpu.training.device_sampler import (
+        DeviceGraph,
+        run_train_onthefly,
+    )
+
+    cfg = GQEConfig(embed_dim=128, projection="bilinear", intersection="min",
+                    batch_size=512, lr=0.03, seed=0,
+                    val_every=max(1, args.steps // 5), tol=0.0,
+                    conv_window=10**9,
+                    compute_dtype="bfloat16", storage_dtype="bfloat16")
+    graph = synthetic_graph(seed=0, scale=args.scale,
+                            avg_degree=args.avg_degree)
+    print(f"graph {graph.schema.n_nodes} nodes {graph.num_edges()} edges",
+          flush=True)
+
+    rng = np.random.default_rng(5)
+    s_val = QuerySampler(graph, rng, max_negs=32)
+    val = []
+    for st in STRUCTURES:
+        val += s_val.sample_many(st, args.n_val)
+
+    results = {}
+
+    # --- pool/device pipeline (exact negatives + stored hard negatives) ---
+    pools = {"1p": device_pool_from_arrays(
+        graph.schema, native_all_edges_1p(graph, max_negs=16, seed=11))}
+    for si, st in enumerate(s for s in STRUCTURES if s != "1p"):
+        pools[st] = device_pool_from_arrays(
+            graph.schema, native_sample_arrays(graph, st, args.n_inter,
+                                               seed=100 + si, max_negs=16))
+    data = DeviceTrainData.from_pools(pools)
+    params = init_params(cfg, graph.schema, jax.random.key(0))
+    t0 = time.time()
+    res = run_train_device_mega(cfg, graph.schema, params, data,
+                                val_queries=val, total_steps=args.steps,
+                                burn_in_steps=args.burn_in, steps_per=100)
+    best = res.best_params
+    results["pool"] = {
+        "val_auc": eval_auc(cfg, best, graph.schema, val, seed=3),
+        "val_auc_hard": eval_auc(cfg, best, graph.schema, val, seed=3,
+                                 hard=True),
+        "val_apr": eval_apr(cfg, best, graph.schema, val, max_negs=32),
+        "train_s": round(time.time() - t0, 1),
+        "qps": round(res.queries_per_sec),
+    }
+    print(json.dumps({"pool": {k: (round(v["macro"], 4) if isinstance(v, dict)
+                                   else v)
+                               for k, v in results["pool"].items()}}),
+          flush=True)
+
+    # --- onthefly (on-device sampling, partial-branch hard negatives) ---
+    dg = DeviceGraph.build(graph, sample_size=16, seed=0)
+    params = init_params(cfg, graph.schema, jax.random.key(0))
+    t0 = time.time()
+    res = run_train_onthefly(cfg, graph.schema, params, dg, val_queries=val,
+                             total_steps=args.steps,
+                             burn_in_steps=args.burn_in, steps_per=100)
+    best = res.best_params
+    results["onthefly"] = {
+        "val_auc": eval_auc(cfg, best, graph.schema, val, seed=3),
+        "val_auc_hard": eval_auc(cfg, best, graph.schema, val, seed=3,
+                                 hard=True),
+        "val_apr": eval_apr(cfg, best, graph.schema, val, max_negs=32),
+        "train_s": round(time.time() - t0, 1),
+        "qps": round(res.queries_per_sec),
+    }
+    print(json.dumps({"onthefly": {k: (round(v["macro"], 4)
+                                       if isinstance(v, dict) else v)
+                                   for k, v in results["onthefly"].items()}}),
+          flush=True)
+
+    r = lambda d: {k: round(v, 4) for k, v in d.items()}
+    out = {name: {"val_auc": r(x["val_auc"]),
+                  "val_auc_hard": r(x["val_auc_hard"]),
+                  "val_apr": r(x["val_apr"]),
+                  "train_s": x["train_s"], "qps": x["qps"]}
+           for name, x in results.items()}
+    Path("RESULTS_onthefly_quality.json").write_text(json.dumps(out, indent=1))
+    p, o = out["pool"], out["onthefly"]
+    md = f"""# Onthefly vs pool pipeline quality (round 4)
+
+Mid-scale (scale {args.scale}, degree {args.avg_degree}; {args.steps}
+steps incl. {args.burn_in} burn-in; bf16 flagship config; identical
+offline exact-negative eval queries). Pool = exact offline negatives +
+stored hard negatives; onthefly = everything sampled on device
+(type-range negatives, PARTIAL-BRANCH hard negatives, hard_neg_frac
+alternation in-scan).
+
+| pipeline | val macro AUC | hard-neg macro AUC | val macro APR | sustained q/s |
+|---|---|---|---|---|
+| pool/device | {p['val_auc']['macro']:.4f} | {p['val_auc_hard']['macro']:.4f} | {p['val_apr']['macro']:.4f} | {p['qps']} |
+| onthefly | {o['val_auc']['macro']:.4f} | {o['val_auc_hard']['macro']:.4f} | {o['val_apr']['macro']:.4f} | {o['qps']} |
+| delta (onthefly − pool) | {o['val_auc']['macro']-p['val_auc']['macro']:+.4f} | {o['val_auc_hard']['macro']-p['val_auc_hard']['macro']:+.4f} | {o['val_apr']['macro']-p['val_apr']['macro']:+.4f} | |
+
+Per-structure hard AUC: pool {p['val_auc_hard']} vs onthefly
+{o['val_auc_hard']}.
+"""
+    Path("RESULTS_onthefly_quality.md").write_text(md)
+    print("written RESULTS_onthefly_quality.md", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -214,3 +214,42 @@ def test_run_train_onthefly_deep_encoder(graph):
     aucs = eval_auc(cfg, res.params, graph.schema, val,
                     neighbor_tables=tables)
     assert aucs["1p"] > 0.55, aucs
+
+
+def test_window_packer_carve_matches_direct():
+    """pack() output must equal per-array device_put of the same window
+    arrays — one packed transfer + one jitted carve, same values/shapes,
+    and a second pack with identical shapes reuses the carve program."""
+    import jax.numpy as jnp
+
+    from graphqembed_tpu.data.grain_pipeline import (
+        _WINDOW_FIELDS,
+        WindowPacker,
+    )
+
+    rng = np.random.default_rng(0)
+
+    def mk(n, a, r, k):
+        return {
+            "anchors": rng.integers(0, 50, (n, a)).astype(np.int32),
+            "rels": rng.integers(0, 6, (n, r)).astype(np.int32),
+            "inter_modes": rng.integers(-1, 4, n).astype(np.int32),
+            "targets": rng.integers(0, 50, n).astype(np.int32),
+            "negs": rng.integers(0, 50, (n, 5)).astype(np.int32),
+            "neg_counts": rng.integers(1, 5, n).astype(np.int32),
+            "hard": rng.integers(0, 50, (n, 5)).astype(np.int32),
+            "hard_counts": rng.integers(1, 5, n).astype(np.int32),
+        }
+
+    per = {"1p": mk(40, 1, 1, 5), "3i": mk(24, 3, 3, 5)}
+    packer = WindowPacker()
+    wins = packer.pack(per)
+    for s, arrays in per.items():
+        assert wins[s].n == len(arrays["targets"])
+        for f in _WINDOW_FIELDS:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(wins[s], f)), arrays[f])
+    carve1 = packer._carve
+    wins2 = packer.pack({"1p": mk(40, 1, 1, 5), "3i": mk(24, 3, 3, 5)})
+    assert packer._carve is carve1  # same shapes -> no recompile
+    assert int(jnp.sum(wins2["1p"].targets)) >= 0
