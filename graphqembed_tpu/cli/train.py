@@ -81,8 +81,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["host", "device", "stream", "onthefly"],
                    help="host: reference-schedule loop (per-formula "
                         "batches). device: device-resident mega-dispatch "
-                        "pipeline — the fast production path (~9x on a "
-                        "tunneled chip); both support convergence stopping, "
+                        "pipeline — the fast production path; both support "
+                        "convergence stopping, "
                         "checkpoints/--resume, and --depth > 0. stream: "
                         "beyond-RAM windowed HBM staging over the saved npz "
                         "shards in --data_dir (device mega schedule, "
