@@ -337,11 +337,20 @@ def make_onthefly_train_step(cfg, optimizer, dg: DeviceGraph,
     )
     def scan_fn(params, opt_state, dg, tables, structure, key, n_steps,
                 weight, use_hard):
-        def body(carry, t):
+        # ALL n_steps batches sampled before the scan in a handful of big
+        # vmapped kernels (the device_data._select_batches lever: in-body
+        # sampling cost the onthefly step ~25% at mid-scale). Per-step
+        # values are identical — each step's draws are a pure function of
+        # fold_in(key, t).
+        ts = jnp.arange(n_steps)
+        keys = jax.vmap(lambda t: jax.random.fold_in(key, t))(ts)
+        batches = jax.vmap(
+            lambda k: sample_structure_batch(dg, k, b, structure))(keys)
+
+        def body(carry, xs):
             params, opt_state = carry
-            k = jax.random.fold_in(key, t)
-            (anchors, rels, modes, tgt, neg, hard_neg, hard_ok,
-             mask) = sample_structure_batch(dg, k, b, structure)
+            t, (anchors, rels, modes, tgt, neg, hard_neg, hard_ok,
+                mask) = xs
             if use_hard:
                 neg = jnp.where(_hard_step(cfg, t), hard_neg, neg)
 
@@ -364,7 +373,7 @@ def make_onthefly_train_step(cfg, optimizer, dg: DeviceGraph,
             return (params, opt_state), loss
 
         (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), jnp.arange(n_steps))
+            body, (params, opt_state), (ts, batches))
         return params, opt_state, jnp.mean(losses)
 
     def run(params, opt_state, structure: str, key, n_steps: int,
