@@ -161,9 +161,16 @@ def main():
         val += parallel_sample(train_graph, st, args.n_val, n_workers=2,
                                seed=7, max_negs=50)
     test = []
+    from graphqembed_tpu.native import native_sample_clean_many
     s = QuerySampler(graph, np.random.default_rng(13), max_negs=50)
     for st in STRUCTURES:
-        test += s.sample_many(st, args.n_test, train_graph=train_graph)
+        # clean-test at native speed (the python clean sampler was 90-120s
+        # of flagship wall); python fallback keeps the offline contract
+        qs = native_sample_clean_many(graph, train_graph, st, args.n_test,
+                                      seed=13, max_negs=50)
+        test += (qs if qs is not None
+                 else s.sample_many(st, args.n_test,
+                                    train_graph=train_graph))
     t_eval_sample = time.time() - t0e
     print(f"val {len(val)} / clean-test {len(test)} "
           f"({t_eval_sample:.0f}s)", flush=True)

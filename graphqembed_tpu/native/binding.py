@@ -54,6 +54,15 @@ def _load():
         ctypes.c_int, ctypes.c_int, ctypes.c_int,      # max_negs, tries, exh
         i32p, i32p, i32p, i32p, i32p, i32p, i32p,      # outputs
     ]
+    lib.gqe_sample_clean_queries.restype = ctypes.c_int
+    lib.gqe_sample_clean_queries.argtypes = [
+        ctypes.c_int, i32p, i32p,                      # modes
+        ctypes.c_int, i32p, i32p, i32p, i64p, i64p, i32p, i32p,  # rels+CSR
+        i64p, i64p, i32p, i32p,                        # TRAIN CSR
+        ctypes.c_int, ctypes.c_int, ctypes.c_uint64,   # structure, n, seed
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,      # max_negs, tries, exh
+        i32p, i32p, i32p, i32p, i32p, i32p, i32p,      # outputs
+    ]
     lib.gqe_all_edges_1p.restype = ctypes.c_int
     lib.gqe_all_edges_1p.argtypes = [
         ctypes.c_int, i32p, i32p,                      # modes
@@ -153,6 +162,53 @@ def native_sample_arrays(graph: Graph, structure: str, n: int, seed: int = 0,
     }
 
 
+def native_sample_clean_arrays(graph: Graph, train_graph: Graph,
+                               structure: str, n: int, seed: int = 0,
+                               max_negs: int = 100,
+                               exhaustive_negs: bool = False,
+                               max_tries: int = 200):
+    """Clean-test sampling at native speed (SURVEY §2.1): walks the FULL
+    graph, keeps only queries unanswerable on `train_graph` (>=1 held-out
+    edge required), negatives/hard negatives computed on the full graph —
+    the C++ twin of QuerySampler.sample(train_graph=...). Returns the
+    native_sample_arrays dict, or None if the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    ga = _graph_arrays(graph)
+    ta = _graph_arrays(train_graph)
+    schema = graph.schema
+    if exhaustive_negs:
+        tmodes = {f[2] for f in schema.relations}
+        max_negs = max(schema.mode_counts[m] for m in tmodes)
+    si = STRUCTURES.index(structure)
+    out_rels = np.empty((n, 3), np.int32)
+    out_anchors = np.empty((n, 3), np.int32)
+    out_targets = np.empty(n, np.int32)
+    out_negs = np.empty((n, max_negs), np.int32)
+    out_negc = np.empty(n, np.int32)
+    out_hard = np.empty((n, max_negs), np.int32)
+    out_hardc = np.empty(n, np.int32)
+    got = lib.gqe_sample_clean_queries(
+        len(schema.modes), ga.mode_lo, ga.mode_hi,
+        schema.n_relations, ga.rel_from, ga.rel_to, ga.rel_rev,
+        ga.indptr_off, ga.indices_off, ga.indptr_cat, ga.indices_cat,
+        ta.indptr_off, ta.indices_off, ta.indptr_cat, ta.indices_cat,
+        si, n, seed, max_negs, max_tries, int(exhaustive_negs),
+        out_rels, out_anchors, out_targets, out_negs, out_negc, out_hard,
+        out_hardc)
+    return {
+        "structure": structure,
+        "rels": out_rels[:got],
+        "anchors": out_anchors[:got],
+        "targets": out_targets[:got],
+        "negs": out_negs[:got],
+        "neg_counts": out_negc[:got],
+        "hard": out_hard[:got],
+        "hard_counts": out_hardc[:got],
+    }
+
+
 def native_all_edges_1p(graph: Graph, cap: int | None = None, seed: int = 0,
                         max_negs: int = 16, n_threads: int | None = None):
     """EVERY edge as a 1p query with exact negatives (C++, one pass over the
@@ -198,43 +254,52 @@ def native_all_edges_1p(graph: Graph, cap: int | None = None, seed: int = 0,
     }
 
 
+def _arrays_to_queries(schema, structure: str, arrays: dict) -> list[Query]:
+    """native_sample_arrays dict -> Query objects (sorted negative pools,
+    reference-style)."""
+    queries: list[Query] = []
+    negc = arrays["neg_counts"]
+    hardc = arrays["hard_counts"]
+    for i in range(len(arrays["targets"])):
+        rels = tuple(schema.rel_of(int(r)) for r in arrays["rels"][i]
+                     if r >= 0)
+        anchors = tuple(int(a) for a in arrays["anchors"][i] if a >= 0)
+        hard = None
+        if hardc[i] > 0:
+            hard = np.sort(arrays["hard"][i, :hardc[i]].astype(np.int64))
+        queries.append(Query(
+            Formula(structure, rels), anchors, int(arrays["targets"][i]),
+            np.sort(arrays["negs"][i, :negc[i]].astype(np.int64)), hard))
+    return queries
+
+
 def native_sample_many(graph: Graph, structure: str, n: int, seed: int = 0,
                        max_negs: int = 100, exhaustive_negs: bool = False,
                        max_tries: int = 200) -> list[Query] | None:
     """C++ bulk sampler; returns None if the native library is unavailable.
     Same semantics as QuerySampler.sample_many (invariant-tested, not
     bit-identical: different RNG streams)."""
-    lib = _load()
-    if lib is None:
+    arrays = native_sample_arrays(graph, structure, n, seed=seed,
+                                  max_negs=max_negs,
+                                  exhaustive_negs=exhaustive_negs,
+                                  max_tries=max_tries)
+    if arrays is None:
         return None
-    ga = _graph_arrays(graph)
-    schema = graph.schema
-    if exhaustive_negs:
-        tmodes = {f[2] for f in schema.relations}
-        max_negs = max(schema.mode_counts[m] for m in tmodes)
-    si = STRUCTURES.index(structure)
-    out_rels = np.empty((n, 3), np.int32)
-    out_anchors = np.empty((n, 3), np.int32)
-    out_targets = np.empty(n, np.int32)
-    out_negs = np.empty((n, max_negs), np.int32)
-    out_negc = np.empty(n, np.int32)
-    out_hard = np.empty((n, max_negs), np.int32)
-    out_hardc = np.empty(n, np.int32)
-    got = lib.gqe_sample_queries(
-        len(schema.modes), ga.mode_lo, ga.mode_hi,
-        schema.n_relations, ga.rel_from, ga.rel_to, ga.rel_rev,
-        ga.indptr_off, ga.indices_off, ga.indptr_cat, ga.indices_cat,
-        si, n, seed, max_negs, max_tries, int(exhaustive_negs),
-        out_rels, out_anchors, out_targets, out_negs, out_negc, out_hard,
-        out_hardc)
-    queries: list[Query] = []
-    for i in range(got):
-        rels = tuple(schema.rel_of(int(r)) for r in out_rels[i] if r >= 0)
-        anchors = tuple(int(a) for a in out_anchors[i] if a >= 0)
-        hard = None
-        if out_hardc[i] > 0:
-            hard = np.sort(out_hard[i, :out_hardc[i]].astype(np.int64))
-        queries.append(Query(
-            Formula(structure, rels), anchors, int(out_targets[i]),
-            np.sort(out_negs[i, :out_negc[i]].astype(np.int64)), hard))
-    return queries
+    return _arrays_to_queries(graph.schema, structure, arrays)
+
+
+def native_sample_clean_many(graph: Graph, train_graph: Graph,
+                             structure: str, n: int, seed: int = 0,
+                             max_negs: int = 100,
+                             exhaustive_negs: bool = False,
+                             max_tries: int = 200) -> list[Query] | None:
+    """C++ clean-test sampler (see native_sample_clean_arrays): Query
+    objects whose answers REQUIRE a held-out edge. The python twin is
+    QuerySampler.sample_many(train_graph=...)."""
+    arrays = native_sample_clean_arrays(graph, train_graph, structure, n,
+                                        seed=seed, max_negs=max_negs,
+                                        exhaustive_negs=exhaustive_negs,
+                                        max_tries=max_tries)
+    if arrays is None:
+        return None
+    return _arrays_to_queries(graph.schema, structure, arrays)

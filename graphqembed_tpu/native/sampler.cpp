@@ -438,6 +438,123 @@ int gqe_sample_queries(
   return written;
 }
 
+// Clean-test sampling (SURVEY §2.1 edge holdout): walk on the FULL graph,
+// accept only queries whose target is NOT answerable on the TRAIN graph
+// (>=1 held-out edge is required to answer them) — the generalization
+// protocol. Negatives/hard negatives are computed on the FULL graph,
+// matching data/sampling.py::QuerySampler.sample(train_graph=...). The
+// train-side answer check reuses the same answer-set machinery on a second
+// Sampler bound to the train adjacency (a walk's relations may have no
+// train edges; the projections are then simply empty). Rejection is high by
+// construction (~holdout_frac of walks are clean), so the budget scales
+// accordingly.
+int gqe_sample_clean_queries(
+    // FULL graph
+    int n_modes, const int32_t* mode_lo, const int32_t* mode_hi,
+    int n_rels, const int32_t* rel_from_mode, const int32_t* rel_to_mode,
+    const int32_t* rel_rev, const int64_t* indptr_off,
+    const int64_t* indices_off, const int32_t* indptr_cat,
+    const int32_t* indices_cat,
+    // TRAIN graph (same schema arrays; its own CSR)
+    const int64_t* t_indptr_off, const int64_t* t_indices_off,
+    const int32_t* t_indptr_cat, const int32_t* t_indices_cat,
+    // request
+    int structure, int n_queries, uint64_t seed, int max_negs, int max_tries,
+    int exhaustive_negs,
+    // outputs (caller-allocated)
+    int32_t* out_rels, int32_t* out_anchors, int32_t* out_targets,
+    int32_t* out_negs, int32_t* out_neg_counts, int32_t* out_hard,
+    int32_t* out_hard_counts) {
+  Graph g;
+  g.n_modes = n_modes; g.mode_lo = mode_lo; g.mode_hi = mode_hi;
+  g.n_rels = n_rels; g.rel_from_mode = rel_from_mode;
+  g.rel_to_mode = rel_to_mode; g.rel_rev = rel_rev;
+  g.indptr_off = indptr_off; g.indices_off = indices_off;
+  g.indptr_cat = indptr_cat; g.indices_cat = indices_cat;
+  Graph tg = g;
+  tg.indptr_off = t_indptr_off; tg.indices_off = t_indices_off;
+  tg.indptr_cat = t_indptr_cat; tg.indices_cat = t_indices_cat;
+
+  Sampler s(g, seed);
+  Sampler st(tg, seed + 1);      // rng unused; carries the scratch sets
+  std::unordered_set<Key, KeyHash> dedup;
+  const bool has_hard = structure >= 3;
+  int written = 0;
+  int64_t budget = 400LL * n_queries + 1000;
+
+  Walk w;
+  std::vector<int32_t> scratch;
+  while (written < n_queries && budget-- > 0) {
+    for (int t = 0; t < max_tries; ++t)
+      if (s.walk(structure, &w)) break; else w.n_rels = 0;
+    if (w.n_rels == 0) continue;
+
+    // clean filter: answerable on TRAIN -> reject
+    NodeSet* tans = nullptr;
+    int tb = 0;
+    st.answers(structure, w, &tans, &tb);
+    if (tans->count(w.target)) continue;
+
+    uint64_t h = 1469598103934665603ULL;
+    auto mix = [&h](int64_t x) {
+      h ^= (uint64_t)x; h *= 1099511628211ULL;
+    };
+    for (int i = 0; i < w.n_rels; ++i) mix(w.rels[i]);
+    for (int i = 0; i < w.n_anchors; ++i) mix(w.anchors[i]);
+    mix(w.target);
+    if (!dedup.insert(Key{(int64_t)h}).second) continue;
+
+    NodeSet* ans = nullptr;
+    int n_branches = 0;
+    s.answers(structure, w, &ans, &n_branches);
+    const int tmode = g.mode_of(w.target);
+    int n_negs = s.sample_negs(tmode, *ans,
+                               out_negs + (int64_t)written * max_negs,
+                               max_negs, exhaustive_negs != 0);
+    if (n_negs == 0) continue;
+
+    int n_hard = 0;
+    if (has_hard) {
+      scratch.clear();
+      s.ns_hard.reset();
+      if (structure == 5) {
+        s.ns_tmp.reset();
+        for (int b = 0; b < n_branches; ++b)
+          for (int32_t x : s.ns_branch[b].members) s.ns_tmp.insert(x);
+        s.ns_seen.reset();
+        project_into(g, s.ns_tmp.members, w.rels[2], &s.ns_seen);
+        for (int32_t x : s.ns_seen.members)
+          if (!ans->count(x) && s.ns_hard.insert(x)) scratch.push_back(x);
+      } else {
+        for (int b = 0; b < n_branches; ++b)
+          for (int32_t x : s.ns_branch[b].members)
+            if (!ans->count(x) && s.ns_hard.insert(x)) scratch.push_back(x);
+      }
+      if ((int)scratch.size() > max_negs) {
+        for (int i = 0; i < max_negs; ++i) {
+          int j = i + (int)(s.rng() % (scratch.size() - i));
+          std::swap(scratch[i], scratch[j]);
+        }
+        scratch.resize(max_negs);
+      }
+      n_hard = (int)scratch.size();
+      if (n_hard)
+        std::memcpy(out_hard + (int64_t)written * max_negs, scratch.data(),
+                    sizeof(int32_t) * n_hard);
+    }
+
+    for (int i = 0; i < 3; ++i) {
+      out_rels[written * 3 + i] = i < w.n_rels ? w.rels[i] : -1;
+      out_anchors[written * 3 + i] = i < w.n_anchors ? w.anchors[i] : -1;
+    }
+    out_targets[written] = w.target;
+    out_neg_counts[written] = n_negs;
+    out_hard_counts[written] = n_hard;
+    ++written;
+  }
+  return written;
+}
+
 // Bulk 1p pool: EVERY edge of every relation as a 1p query with `max_negs`
 // exact negatives (rejection-sampled against the anchor's answer set, which
 // for 1p is just its neighbor row — built once per source and reused for all

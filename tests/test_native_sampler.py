@@ -169,3 +169,29 @@ def test_all_edges_1p_subsample(graph):
         r = int(arr["rels"][i, 0])
         t = int(arr["targets"][i])
         assert t in set(graph.neighbors(a, schema.relations[r]))
+
+
+@pytest.mark.parametrize("structure", ["1p", "3p", "3i", "ip", "pi"])
+def test_native_clean_sampler_invariants(graph, structure):
+    """C++ clean-test sampler: every query is answerable on the FULL graph,
+    UNANSWERABLE on the train graph (>=1 held-out edge required), negatives
+    are full-graph non-answers, hard negatives (intersections) satisfy a
+    proper subset of branches."""
+    from graphqembed_tpu.data.sampling import is_answer
+    from graphqembed_tpu.graph.synthetic import holdout_edges
+    from graphqembed_tpu.native import native_sample_clean_many
+
+    train, held = holdout_edges(graph, 0.1, seed=1)
+    qs = native_sample_clean_many(graph, train, structure, 30, seed=3,
+                                  max_negs=10)
+    if qs is None:
+        pytest.skip("native sampler unavailable")
+    assert len(qs) > 0
+    for q in qs[:12]:
+        assert is_answer(graph, q.formula, q.anchors, q.target)
+        assert not is_answer(train, q.formula, q.anchors, q.target)
+        for neg in q.neg_samples[:4]:
+            assert not is_answer(graph, q.formula, q.anchors, int(neg))
+        if q.hard_neg_samples is not None:
+            for h in q.hard_neg_samples[:4]:
+                assert not is_answer(graph, q.formula, q.anchors, int(h))
