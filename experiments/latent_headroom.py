@@ -88,10 +88,16 @@ def run_family(name, graph, args, cfg):
     for st in STRUCTURES:
         val += s_val.sample_many(st, args.n_val)
     # clean-test: sampled on the FULL graph, answer requires a held-out edge
+    from graphqembed_tpu.native import native_sample_clean_many
+
     s_test = QuerySampler(graph, rng, max_negs=32)
     test = []
     for st in STRUCTURES:
-        test += s_test.sample_many(st, args.n_test, train_graph=train_graph)
+        qs = native_sample_clean_many(graph, train_graph, st, args.n_test,
+                                      seed=31, max_negs=32)
+        test += (qs if qs is not None
+                 else s_test.sample_many(st, args.n_test,
+                                         train_graph=train_graph))
 
     params = init_params(cfg, graph.schema, jax.random.key(0))
     t0 = time.time()

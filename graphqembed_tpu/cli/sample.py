@@ -93,15 +93,28 @@ def main(argv=None):
             train += parallel_sample(train_graph, st, args.n_train,
                                      n_workers=args.n_workers, seed=args.seed,
                                      max_negs=args.max_negs)
-        sv = QuerySampler(train_graph, np.random.default_rng(args.seed + 1),
-                          max_negs=args.max_negs)
-        val += sv.sample_many(st, args.n_val)
-        # test: clean queries on the FULL graph (need ≥1 held-out edge),
-        # exhaustive negatives for the full_neg/APR protocol
-        stest = QuerySampler(graph, np.random.default_rng(args.seed + 2),
-                             max_negs=args.max_negs)
-        test += stest.sample_many(st, args.n_test, exhaustive_negs=True,
-                                  train_graph=train_graph)
+        if args.native:
+            from graphqembed_tpu.native import (
+                native_sample_clean_many,
+                native_sample_many,
+            )
+            val += native_sample_many(train_graph, st, args.n_val,
+                                      seed=args.seed + 1,
+                                      max_negs=args.max_negs) or []
+            test += native_sample_clean_many(
+                graph, train_graph, st, args.n_test, seed=args.seed + 2,
+                max_negs=args.max_negs, exhaustive_negs=True) or []
+        else:
+            sv = QuerySampler(train_graph,
+                              np.random.default_rng(args.seed + 1),
+                              max_negs=args.max_negs)
+            val += sv.sample_many(st, args.n_val)
+            # test: clean queries on the FULL graph (need ≥1 held-out
+            # edge), exhaustive negatives for the full_neg/APR protocol
+            stest = QuerySampler(graph, np.random.default_rng(args.seed + 2),
+                                 max_negs=args.max_negs)
+            test += stest.sample_many(st, args.n_test, exhaustive_negs=True,
+                                      train_graph=train_graph)
         print(f"{st}: sampled (t={time.perf_counter() - t0:.1f}s)")
     if not args.native:
         save_queries(out / "train_queries", graph.schema, train)
