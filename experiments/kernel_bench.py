@@ -15,7 +15,6 @@ Run: python experiments/kernel_bench.py
 
 from __future__ import annotations
 
-import functools
 import json
 import sys
 import time
