@@ -20,6 +20,8 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", type=str, default="bio",
+                    choices=["bio", "bio-latent"])
     ap.add_argument("--scale", type=float, default=114.0)
     ap.add_argument("--avg_degree", type=float, default=40.0)
     ap.add_argument("--n_val", type=int, default=400)
@@ -38,7 +40,11 @@ def main():
 
     from graphqembed_tpu.config import STRUCTURES, GQEConfig
     from graphqembed_tpu.data.sampling import parallel_sample
-    from graphqembed_tpu.graph.synthetic import holdout_edges, synthetic_graph
+    from graphqembed_tpu.graph.synthetic import (
+        holdout_edges,
+        synthetic_graph,
+        synthetic_graph_latent,
+    )
     from graphqembed_tpu.models.params import init_params
     from graphqembed_tpu.native import native_sample_clean_many
     from graphqembed_tpu.training import eval_apr, eval_auc
@@ -54,8 +60,9 @@ def main():
                     val_every=max(1, args.steps // 10), tol=0.0,
                     conv_window=10**9,
                     compute_dtype="bfloat16", storage_dtype="bfloat16")
-    graph = synthetic_graph(seed=0, scale=args.scale,
-                            avg_degree=args.avg_degree)
+    gen = (synthetic_graph_latent if args.dataset == "bio-latent"
+           else synthetic_graph)
+    graph = gen(seed=0, scale=args.scale, avg_degree=args.avg_degree)
     train_graph, held = holdout_edges(graph, frac=0.1, seed=1)
     print(f"graph {graph.schema.n_nodes} nodes {graph.num_edges()} edges "
           f"{len(held)} held", flush=True)
@@ -94,7 +101,7 @@ def main():
 
     r = lambda d: {k: round(v, 4) for k, v in d.items()}
     report = {
-        "dataset": "bio-synth-paperscale-onthefly",
+        "dataset": f"{args.dataset}-synth-paperscale-onthefly",
         "graph": {"nodes": graph.schema.n_nodes, "edges": graph.num_edges(),
                   "scale": args.scale, "avg_degree": args.avg_degree},
         "steps": res.steps, "burn_in": res.burn_in_steps,
@@ -107,8 +114,10 @@ def main():
         "precomputed_train_queries": 0,
     }
     print(json.dumps(report, indent=2), flush=True)
-    Path("RESULTS_onthefly_paperscale.json").write_text(
-        json.dumps(report, indent=1))
+    out_stem = ("RESULTS_onthefly_paperscale"
+                if args.dataset == "bio"
+                else "RESULTS_onthefly_latent_paperscale")
+    Path(out_stem + ".json").write_text(json.dumps(report, indent=1))
     md = f"""# Paper-scale ONTHEFLY flagship (round 4)
 
 The full bio protocol ({args.steps} steps incl. {args.burn_in} burn-in,
@@ -130,8 +139,8 @@ preprocessing on the training path.
 Per-structure val AUC: {r(val_auc)}; hard: {r(val_hard)};
 clean-test: {r(test_auc)}.
 """
-    Path("RESULTS_onthefly_paperscale.md").write_text(md)
-    print("wrote RESULTS_onthefly_paperscale.md", flush=True)
+    Path(out_stem + ".md").write_text(md)
+    print("wrote", out_stem + ".md", flush=True)
 
 
 if __name__ == "__main__":
