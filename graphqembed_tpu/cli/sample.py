@@ -34,9 +34,9 @@ def main(argv=None):
                         "write mixed-formula npz shards directly "
                         "(save_query_arrays) — the beyond-RAM producer: "
                         "~100x the python sampler, queries never transit "
-                        "python objects. val/test keep the exact python "
-                        "sampler (clean-test filtering + exhaustive "
-                        "negatives).")
+                        "python objects. val/test also use the native "
+                        "samplers (clean-test filtering and exhaustive "
+                        "negatives are preserved in C++).")
     args = p.parse_args(argv)
 
     from graphqembed_tpu.config import STRUCTURES
@@ -87,7 +87,7 @@ def main(argv=None):
                   f"(t={time.perf_counter() - t0:.1f}s)")
         save_query_arrays(out / "train_queries", graph.schema, arrs)
     train, val, test = [], [], []
-    for st in structures:
+    for si, st in enumerate(structures):
         # train/val: sampled on the TRAIN graph (no leakage of held-out edges)
         if not args.native:
             train += parallel_sample(train_graph, st, args.n_train,
@@ -98,11 +98,17 @@ def main(argv=None):
                 native_sample_clean_many,
                 native_sample_many,
             )
+            # val/test seeds live in a space DISJOINT from the per-structure
+            # train seeds (args.seed*1000 + si, si < 7): reusing a train
+            # seed on the same graph with the same deterministic sampler
+            # would make a val set an exact prefix of a train shard —
+            # train/val leakage (ADVICE r04, medium).
             val += native_sample_many(train_graph, st, args.n_val,
-                                      seed=args.seed + 1,
+                                      seed=args.seed * 1000 + 500 + si,
                                       max_negs=args.max_negs) or []
             test += native_sample_clean_many(
-                graph, train_graph, st, args.n_test, seed=args.seed + 2,
+                graph, train_graph, st, args.n_test,
+                seed=args.seed * 1000 + 800 + si,
                 max_negs=args.max_negs, exhaustive_negs=True) or []
         else:
             sv = QuerySampler(train_graph,

@@ -72,6 +72,46 @@ def measure(n_devices: int, cfg, graph, queries, n_steps: int = 60,
             "edges_per_sec": round(qps * epq, 1)}
 
 
+def measure_full_protocol(n_devices: int, cfg, graph, queries, val,
+                          total_steps: int, burn_in: int) -> dict:
+    """Throughput of the FULL-protocol distributed trainer
+    (run_train_device_mega over a mesh: burn-in → weighted multitask →
+    in-loop eval → best-params tracking) — the end-to-end number the
+    BASELINE scaling target is about, not just raw scan dispatches."""
+    import jax
+
+    from graphqembed_tpu.models.params import init_params
+    from graphqembed_tpu.parallel import make_mesh
+    from graphqembed_tpu.training.device_data import (
+        DeviceTrainData,
+        run_train_device_mega,
+    )
+    from graphqembed_tpu.training.metrics import EDGES_PER_QUERY
+
+    mesh = make_mesh(n_devices) if n_devices > 1 else None
+    params = init_params(cfg, graph.schema, jax.random.key(0))
+    data = DeviceTrainData(graph.schema, queries)
+    # warmup run compiles every program (burn + multitask + eval)
+    run_train_device_mega(cfg, graph.schema, params, data, val_queries=val,
+                          total_steps=max(8, total_steps // 10),
+                          burn_in_steps=max(4, burn_in // 10), steps_per=4,
+                          mesh=mesh)
+    params = init_params(cfg, graph.schema, jax.random.key(0))
+    t0 = time.perf_counter()
+    res = run_train_device_mega(cfg, graph.schema, params, data,
+                                val_queries=val, total_steps=total_steps,
+                                burn_in_steps=burn_in, steps_per=10,
+                                mesh=mesh)
+    dt = time.perf_counter() - t0
+    qps = res.steps * cfg.batch_size / dt
+    epq = np.mean([EDGES_PER_QUERY[s] for s in data.structures])
+    return {"devices": n_devices, "mode": "full_protocol",
+            "steps": res.steps, "wall_s": round(dt, 2),
+            "val_auc": round(res.best_val_auc, 4),
+            "queries_per_sec": round(qps, 1),
+            "edges_per_sec": round(qps * epq, 1)}
+
+
 def main(argv=None):
     p = argparse.ArgumentParser("gqe-scaling")
     p.add_argument("--scale", type=float, default=4.0)
@@ -79,6 +119,10 @@ def main(argv=None):
     p.add_argument("--embed_dim", type=int, default=128)
     p.add_argument("--n_queries", type=int, default=800)
     p.add_argument("--steps", type=int, default=60)
+    p.add_argument("--full-protocol", action="store_true", dest="full",
+                   help="measure the full distributed trainer (burn-in + "
+                        "multitask + eval, run_train_device_mega over the "
+                        "mesh) instead of raw scan dispatches")
     args = p.parse_args(argv)
 
     import jax
@@ -88,18 +132,29 @@ def main(argv=None):
     from graphqembed_tpu.graph.synthetic import synthetic_graph
 
     cfg = GQEConfig(embed_dim=args.embed_dim, projection="bilinear",
-                    batch_size=args.batch_size)
+                    batch_size=args.batch_size,
+                    val_every=max(20, args.steps // 2))
     graph = synthetic_graph(seed=0, scale=args.scale, avg_degree=8.0)
     s = QuerySampler(graph, np.random.default_rng(0), max_negs=20)
     queries = (s.sample_many("2p", args.n_queries)
                + s.sample_many("3i", args.n_queries))
+    val = None
+    if args.full:
+        queries += s.sample_many("1p", args.n_queries)  # burn-in needs edges
+        sv = QuerySampler(graph, np.random.default_rng(1), max_negs=20)
+        val = sv.sample_many("1p", 100) + sv.sample_many("3i", 100)
 
     n_avail = len(jax.devices())
     sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_avail]
     results = []
     base = None
     for n in sizes:
-        r = measure(n, cfg, graph, queries, n_steps=args.steps)
+        if args.full:
+            r = measure_full_protocol(n, cfg, graph, queries, val,
+                                      total_steps=args.steps,
+                                      burn_in=max(10, args.steps // 4))
+        else:
+            r = measure(n, cfg, graph, queries, n_steps=args.steps)
         if base is None:
             base = r["edges_per_sec"]
         r["efficiency_vs_1dev"] = round(

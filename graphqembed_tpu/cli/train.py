@@ -96,6 +96,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="save full train state every N steps (0 = off)")
     p.add_argument("--resume", action="store_true",
                    help="restart from the latest checkpoint in model_dir")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="devices in the DP mesh for the distributed trainer "
+                        "(--pipeline device/onthefly): params row-sharded, "
+                        "batches DP-split, collectives inserted by "
+                        "XLA/GSPMD. 0 = auto (all visible devices when >1); "
+                        "1 = force single-device")
     return p
 
 
@@ -193,6 +199,31 @@ def main(argv=None):
     model_dir.mkdir(parents=True, exist_ok=True)
     (model_dir / "config.json").write_text(cfg.to_json())
 
+    mesh = None
+    n_mesh = args.mesh
+    if n_mesh == 0 and args.pipeline in ("device", "onthefly") \
+            and args.storage_dtype == "float32":
+        # auto-mesh: all visible devices, shrunk to divide the batch (DP
+        # splits the batch axis). bf16 storage stays single-device — its
+        # stochastic-rounding Pallas optimizer is opaque to GSPMD.
+        import math
+        n_mesh = math.gcd(len(jax.devices()), args.batch_size)
+    if n_mesh > 1:
+        if args.pipeline not in ("device", "onthefly"):
+            raise SystemExit("--mesh N>1 needs --pipeline device or onthefly "
+                             "(the GSPMD mega-step pipelines)")
+        if args.storage_dtype != "float32":
+            raise SystemExit("--mesh N>1 requires --storage_dtype float32 "
+                             "(FusedAdamOpt's Pallas kernels are opaque to "
+                             "GSPMD; see make_multitask_mega_step)")
+        if args.batch_size % n_mesh:
+            raise SystemExit(f"--mesh {n_mesh} must divide --batch_size "
+                             f"{args.batch_size} (DP splits the batch axis)")
+        from graphqembed_tpu.parallel import make_mesh
+        mesh = make_mesh(n_mesh)
+        logging.info("distributed trainer: %d-device DP mesh, row-sharded "
+                     "table", n_mesh)
+
     graph, train, val = load_dataset(args,
                                      skip_train=args.pipeline == "stream")
     logging.info("dataset: %d nodes, %d edges, %d train / %d val queries",
@@ -231,7 +262,7 @@ def main(argv=None):
         res = run_train_onthefly(
             cfg, graph.schema, params, dg, val_queries=val,
             steps_per=steps_per, neighbor_tables=tables, ckpt_manager=mgr,
-            ckpt_every=args.ckpt_every, resume=args.resume,
+            ckpt_every=args.ckpt_every, resume=args.resume, mesh=mesh,
             log=lambda step, s, l: (
                 logging.info("step %d [%s] loss %.4f", step, s, l),
                 writer.write(step, **{f"loss/{s}": l}))[0])
@@ -246,7 +277,7 @@ def main(argv=None):
             cfg, graph.schema, params, data, val_queries=val,
             steps_per=steps_per,
             neighbor_tables=tables, ckpt_manager=mgr,
-            ckpt_every=args.ckpt_every, resume=args.resume,
+            ckpt_every=args.ckpt_every, resume=args.resume, mesh=mesh,
             log=lambda step, s, l: (
                 logging.info("step %d [%s] loss %.4f", step, s, l),
                 writer.write(step, **{f"loss/{s}": l}))[0])

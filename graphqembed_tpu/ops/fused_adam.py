@@ -46,13 +46,19 @@ _TILE_BF16 = 2048  # bf16 leaves: half the bytes/row -> bigger tiles fit
                    # parity with the XLA bf16 optax chain's 746
 
 
-def _pick_tile(m: int, dtype=None) -> int:
+def _pick_tile(m: int, dtype=None, d: int = 128) -> int:
     """Largest multiple-of-8 divisor of m, capped by dtype (see _TILE*).
     Tile size is a first-order cost in BOTH directions: the naive ladder
     (512/256/64/8) dropped a 35200-row table to 64-row tiles — 550 grid
     steps whose per-step overhead tripled kernel time — and capping bf16
-    tiles at 512 left ~20% of HBM bandwidth on the table (numbers above)."""
+    tiles at 512 left ~20% of HBM bandwidth on the table (numbers above).
+
+    The row caps were measured at d=128; the VMEM constraint is BYTES
+    (7 aliased buffers × tile·d·itemsize, double-buffered), so the cap
+    scales as 128/d — a d=512 leaf gets a 4× smaller row cap instead of
+    blowing VMEM at compile time (ADVICE r04)."""
     cap = _TILE_BF16 if dtype == jnp.bfloat16 else _TILE
+    cap = max(8, cap * 128 // max(d, 1))
     for t in range(min(cap, m), 7, -1):
         if t % 8 == 0 and m % t == 0:
             return t
@@ -142,7 +148,7 @@ def fused_adam_leaf_sr(p: jnp.ndarray, g: jnp.ndarray, mu: jnp.ndarray,
     d = shape[-1] if p.ndim > 1 else shape[0]
     m = p.size // d
     view = (m, d)
-    tile = _pick_tile(m, jnp.bfloat16)
+    tile = _pick_tile(m, jnp.bfloat16, d)
     tf = count.astype(jnp.float32)
     scalars = jnp.stack([
         jnp.float32(lr), jnp.float32(b1), jnp.float32(b2), jnp.float32(eps),
@@ -266,7 +272,7 @@ def rows_pad(length: int) -> int:
     return length + w + (-length) % w
 
 
-def presort_row_ids(ids: jnp.ndarray, n: int) -> tuple:
+def presort_row_ids(ids: jnp.ndarray, n: int, d: int = 128) -> tuple:
     """Sort + pad row ids for the sorted-rows Adam kernel; batchable (the
     hoisted selection sorts ALL T steps' ids in one call — an in-scan sort
     costs ~40 µs/step on v5e, amortized it is ~1 µs).
@@ -274,9 +280,11 @@ def presort_row_ids(ids: jnp.ndarray, n: int) -> tuple:
     ids [..., L] int32 -> (sorted_ids [..., Lpad], order [..., Lpad],
     tile_starts [..., n_tiles+1]). Padding entries have sentinel id n (never
     matches a tile row) and order L (pointing at the caller's appended zero
-    grad row)."""
+    grad row). `d` must match the table's trailing dim — the tile grid here
+    must agree with fused_adam_table_sorted_rows_sr's (asserted there via
+    tile_starts length)."""
     l = ids.shape[-1]
-    tile = _pick_tile(n, jnp.bfloat16)
+    tile = _pick_tile(n, jnp.bfloat16, d)
     order = jnp.argsort(ids, axis=-1)
     sids = jnp.take_along_axis(ids, order, axis=-1)
     pad = rows_pad(l) - l
@@ -308,7 +316,7 @@ def fused_adam_table_rows_sr(p: jnp.ndarray, mu: jnp.ndarray, nu: jnp.ndarray,
     n, d = p.shape
     ids = ids.reshape(-1).astype(jnp.int32)
     row_grads = row_grads.reshape(ids.shape[0], d)
-    sids, order, starts = presort_row_ids(ids, n)
+    sids, order, starts = presort_row_ids(ids, n, d)
     aug = jnp.concatenate(
         [row_grads.astype(jnp.bfloat16), jnp.zeros((1, d), jnp.bfloat16)])
     srows = aug[order]
@@ -326,7 +334,7 @@ def fused_adam_table_sorted_rows_sr(p, mu, nu, sorted_ids, sorted_rows,
     padding), tile_starts [n_tiles+1]."""
     assert p.dtype == jnp.bfloat16, p.dtype
     n, d = p.shape
-    tile = _pick_tile(n, jnp.bfloat16)
+    tile = _pick_tile(n, jnp.bfloat16, d)
     n_tiles = n // tile
     assert tile_starts.shape[-1] == n_tiles + 1
     sids = sorted_ids
@@ -395,7 +403,7 @@ def fused_adam_leaf(p: jnp.ndarray, g: jnp.ndarray, mu: jnp.ndarray,
     d = shape[-1] if p.ndim > 1 else shape[0]
     m = p.size // d
     view = (m, d)
-    tile = _pick_tile(m, p.dtype)
+    tile = _pick_tile(m, p.dtype, d)
     tf = count.astype(jnp.float32)
     scalars = jnp.stack([
         jnp.float32(lr), jnp.float32(b1), jnp.float32(b2), jnp.float32(eps),

@@ -118,3 +118,20 @@ def pad_table_rows(params: dict, n_shards: int) -> tuple[dict, int]:
 def shard_params(params: dict, mesh: Mesh) -> dict:
     params, _ = pad_table_rows(params, mesh.devices.size)
     return jax.device_put(params, param_shardings(params, mesh))
+
+
+def mesh_consistent(tree, mesh: Mesh):
+    """Re-place every leaf NOT already sharded over `mesh` as replicated on
+    it. Needed for checkpoint-restore `like` trees on a mesh: optax scalars
+    (e.g. the Adam count, created by jnp.zeros(()) at init) sit on a single
+    device, and restoring them that way makes the first post-resume jit
+    reject the mixed device sets."""
+    rep = replicated(mesh)
+
+    def fix(x):
+        sh = getattr(x, "sharding", None)
+        if isinstance(sh, NamedSharding) and sh.mesh == mesh:
+            return x
+        return jax.device_put(x, rep)
+
+    return jax.tree.map(fix, tree)

@@ -316,7 +316,7 @@ def _rows_fast(cfg: GQEConfig, optimizer) -> bool:
             and cfg.depth == 0 and cfg.storage_dtype != "float32")
 
 
-def _augment_rows_fast(batch_xs: dict, n_table: int) -> dict:
+def _augment_rows_fast(batch_xs: dict, n_table: int, d: int = 128) -> dict:
     """Attach pre-sorted id metadata for the sorted-rows Adam kernel to the
     hoisted batches: ONE batched argsort + searchsorted for all T steps
     (ops/fused_adam.py::presort_row_ids)."""
@@ -326,7 +326,7 @@ def _augment_rows_fast(batch_xs: dict, n_table: int) -> dict:
         [batch_xs["anchors"], batch_xs["targets"][..., None],
          batch_xs["negs"][..., None]], axis=-1)        # [T, B, A+2]
     ids2 = ids.reshape(ids.shape[0], -1)
-    sids, order, starts = presort_row_ids(ids2, n_table)
+    sids, order, starts = presort_row_ids(ids2, n_table, d)
     return dict(batch_xs, sorted_ids=sids, sort_order=order,
                 tile_starts=starts)
 
@@ -443,7 +443,8 @@ def make_scan_train_step(cfg: GQEConfig, optimizer, neighbor_tables=None):
              hard_counts), use_hard)
         if _rows_fast(cfg, optimizer) and jax.default_backend() == "tpu":
             batch_xs = _augment_rows_fast(batch_xs,
-                                          params["table"].shape[0])
+                                          params["table"].shape[0],
+                                          params["table"].shape[1])
         body = _train_body(cfg, optimizer, structure, weight, tables)
         (params, opt_state), losses = jax.lax.scan(
             body, (params, opt_state), batch_xs)
@@ -524,7 +525,7 @@ def make_scan_train_step_sparse(cfg: GQEConfig, small_optimizer):
 def make_multitask_mega_step(cfg: GQEConfig, optimizer,
                              data: DeviceTrainData,
                              structures: list[str] | None = None,
-                             neighbor_tables=None):
+                             neighbor_tables=None, mesh=None):
     """Whole multitask ROUNDS in one dispatch: for each of n_rounds, every
     structure takes steps_per weighted train steps (hard-negative alternation
     on intersection structures). One dispatch replaces len(structures) *
@@ -544,6 +545,15 @@ def make_multitask_mega_step(cfg: GQEConfig, optimizer,
     device operands rather than literal constants in the serialized program
     (remote compiles reject large constants — docs/DESIGN.md §7).
 
+    mesh: a jax.sharding.Mesh turns this into the MULTI-CHIP production
+    mega-step (GSPMD): the [T, B] batch-selection index array carries the DP
+    split on the batch axis (the make_sharded_scan_train_step lever,
+    parallel/train_step.py), pools and neighbor tables are placed replicated,
+    and params are expected row-sharded (parallel.shard_params). Batch draws
+    are a pure function of (key, t), so losses match the single-device
+    mega-step up to the DP psum's f32 reduction reassociation (pinned by
+    test_sharded_trainer.py).
+
     Returns run(params, opt_state, key, n_rounds, steps_per)
     -> (params, opt_state, losses [n_rounds, n_structures])."""
     from graphqembed_tpu.training.loop import structure_weight
@@ -557,12 +567,27 @@ def make_multitask_mega_step(cfg: GQEConfig, optimizer,
     pools = [data.pools[s] for s in structures]
     b = cfg.batch_size
 
+    idx_constraint = None
+    if mesh is not None:
+        if isinstance(optimizer, FusedAdamOpt):
+            raise ValueError(
+                "mesh training uses GSPMD-partitioned XLA ops; FusedAdamOpt's "
+                "Pallas kernels are opaque to GSPMD (they would be replicated "
+                "wholesale) — use optax.adam / storage_dtype=float32 on a "
+                "mesh")
+        from jax.sharding import NamedSharding, PartitionSpec
+        tb_sh = NamedSharding(mesh, PartitionSpec(None, "data"))
+        idx_constraint = (
+            lambda idx: jax.lax.with_sharding_constraint(idx, tb_sh))
+
     def one_structure(params, opt_state, key_s, arrays, tables, structure,
                       weight, use_hard, steps_per):
-        batch_xs, _ = _select_batches(cfg, key_s, steps_per, arrays, use_hard)
+        batch_xs, _ = _select_batches(cfg, key_s, steps_per, arrays, use_hard,
+                                      idx_constraint=idx_constraint)
         if _rows_fast(cfg, optimizer) and jax.default_backend() == "tpu":
             batch_xs = _augment_rows_fast(batch_xs,
-                                          params["table"].shape[0])
+                                          params["table"].shape[0],
+                                          params["table"].shape[1])
         body = _train_body(cfg, optimizer, structure, weight, tables)
         (params, opt_state), losses = jax.lax.scan(
             body, (params, opt_state), batch_xs)
@@ -598,9 +623,16 @@ def make_multitask_mega_step(cfg: GQEConfig, optimizer,
     for p in pools:
         flat += [p.anchors, p.rels, p.inter_modes, p.targets, p.negs,
                  p.neg_counts, p.hard, p.hard_counts]
+    tables = neighbor_tables
+    if mesh is not None:
+        from graphqembed_tpu.parallel.mesh import replicated
+        rep = replicated(mesh)
+        flat = [jax.device_put(x, rep) for x in flat]
+        if tables is not None:
+            tables = jax.device_put(tables, rep)
 
     def run(params, opt_state, key, n_rounds: int, steps_per: int):
-        return mega(params, opt_state, key, neighbor_tables, n_rounds,
+        return mega(params, opt_state, key, tables, n_rounds,
                     steps_per, *flat)
 
     return run
@@ -613,7 +645,8 @@ def run_train_device_mega(cfg: GQEConfig, schema: Schema, params: dict,
                           steps_per: int = 100, key=None, optimizer=None,
                           log=None, neighbor_tables=None,
                           ckpt_manager=None, ckpt_every: int = 0,
-                          resume: bool = False, deferred_pools=None):
+                          resume: bool = False, deferred_pools=None,
+                          mesh=None):
     """High-level device-resident training: burn-in then multitask rounds,
     each burn-in / inter-eval segment as ONE mega-dispatch
     (make_multitask_mega_step) — the dispatch-economical production driver
@@ -640,6 +673,16 @@ def run_train_device_mega(cfg: GQEConfig, schema: Schema, params: dict,
     a ThreadPoolExecutor started before this function (the C sampler
     releases the GIL). At paper scale this hides most of the pool build
     behind ~150k burn-in steps.
+
+    mesh: a jax.sharding.Mesh runs the FULL protocol distributed — the
+    mesh-reachable production trainer (`gqe-train --pipeline device
+    --mesh N`): params are row-sharded/padded here (parallel.shard_params,
+    unless already sharded on this mesh), every mega-dispatch is the GSPMD
+    sharded mega-step (DP batch split + row-sharded table, XLA-inserted
+    collectives), and eval/checkpoint/convergence run unchanged on the
+    sharded arrays (orbax is sharding-aware; cross-mesh-shape restore is
+    pinned by test_checkpoint.py). Requires storage_dtype=float32 (see
+    make_multitask_mega_step).
     """
     import time
 
@@ -650,10 +693,13 @@ def run_train_device_mega(cfg: GQEConfig, schema: Schema, params: dict,
     burn_in_steps = (burn_in_steps if burn_in_steps is not None
                      else min(cfg.max_burn_in, total_steps))
     optimizer = optimizer or default_optimizer(cfg)
+    if mesh is not None:
+        from graphqembed_tpu.parallel.mesh import shard_params
+        params = shard_params(params, mesh)
     opt_state = optimizer.init(params)
     key = key if key is not None else jax.random.key(cfg.seed)
     mega_burn = (make_multitask_mega_step(cfg, optimizer, data, ["1p"],
-                                          neighbor_tables)
+                                          neighbor_tables, mesh=mesh)
                  if "1p" in data.pools else None)
     # mega_all is built AFTER burn-in (below): with deferred_pools, the
     # non-1p pools may still be sampling on host threads while burn-in runs
@@ -675,9 +721,12 @@ def run_train_device_mega(cfg: GQEConfig, schema: Schema, params: dict,
     last_ckpt = 0
 
     if resume and ckpt_manager is not None:
-        restored = ckpt_manager.restore_latest(
-            like={"params": params, "opt_state": opt_state,
-                  "best_params": params})
+        like = {"params": params, "opt_state": opt_state,
+                "best_params": params}
+        if mesh is not None:
+            from graphqembed_tpu.parallel.mesh import mesh_consistent
+            like = mesh_consistent(like, mesh)
+        restored = ckpt_manager.restore_latest(like=like)
         if restored is not None:
             state, meta = restored
             params = state["params"]
@@ -746,7 +795,8 @@ def run_train_device_mega(cfg: GQEConfig, schema: Schema, params: dict,
 
     # --- multitask rounds with eval / ckpt / convergence ---
     mega_all = make_multitask_mega_step(cfg, optimizer, data,
-                                        neighbor_tables=neighbor_tables)
+                                        neighbor_tables=neighbor_tables,
+                                        mesh=mesh)
     n_struct = len(data.structures)
     eval_every = max(1, min(cfg.val_every, total_steps - done)
                      ) if total_steps > done else 1

@@ -308,7 +308,7 @@ def sample_structure_batch(dg: DeviceGraph, key: jax.Array, b: int,
 
 
 def make_onthefly_train_step(cfg, optimizer, dg: DeviceGraph,
-                             neighbor_tables=None):
+                             neighbor_tables=None, mesh=None):
     """Pool-free scan mega-step: each scan iteration SAMPLES its batch on
     device (sample_structure_batch) and takes one train step on it —
     sampling and training fused in one compiled program, zero host
@@ -320,15 +320,40 @@ def make_onthefly_train_step(cfg, optimizer, dg: DeviceGraph,
     PARTIAL-BRANCH hard negative (_hard_neg_branches); rows where no hard
     candidate was found fall back to the plain type-range negative.
 
+    mesh: the MULTI-CHIP form of the quality-flagship pipeline: the
+    DeviceGraph (per-relation neighbor tables — small relative to the
+    embedding state) and neighbor_tables are placed replicated, the sampled
+    [T, B, ...] batch arrays carry a with_sharding_constraint DP split on
+    the batch axis (so GSPMD shards both the SAMPLING work and the train
+    step across devices), and params are expected row-sharded
+    (parallel.shard_params). Sample draws are a pure function of
+    fold_in(key, t), so the stream is IDENTICAL to the single-device
+    pipeline; losses match up to DP-psum reduction order (pinned by
+    test_sharded_trainer.py). Requires a GSPMD-partitionable optimizer
+    (optax; not FusedAdamOpt — see make_multitask_mega_step).
+
     Returns run(params, opt_state, structure, key, n_steps, weight,
     use_hard) -> (params, opt_state, mean_loss)."""
     from graphqembed_tpu.models import gqe
     from graphqembed_tpu.training.device_data import (
+        FusedAdamOpt,
         _apply_optimizer,
         _hard_step,
     )
 
     b = cfg.batch_size
+    batch_constraint = None
+    if mesh is not None:
+        if isinstance(optimizer, FusedAdamOpt):
+            raise ValueError(
+                "mesh training requires a GSPMD-partitionable optimizer "
+                "(optax.adam / storage_dtype=float32), not FusedAdamOpt")
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        def batch_constraint(x):
+            spec = PartitionSpec(None, "data", *([None] * (x.ndim - 2)))
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, spec))
 
     @functools.partial(
         jax.jit,
@@ -346,6 +371,8 @@ def make_onthefly_train_step(cfg, optimizer, dg: DeviceGraph,
         keys = jax.vmap(lambda t: jax.random.fold_in(key, t))(ts)
         batches = jax.vmap(
             lambda k: sample_structure_batch(dg, k, b, structure))(keys)
+        if batch_constraint is not None:
+            batches = jax.tree.map(batch_constraint, batches)
 
         def body(carry, xs):
             params, opt_state = carry
@@ -376,10 +403,19 @@ def make_onthefly_train_step(cfg, optimizer, dg: DeviceGraph,
             body, (params, opt_state), (ts, batches))
         return params, opt_state, jnp.mean(losses)
 
+    placed_dg, placed_tables = dg, neighbor_tables
+    if mesh is not None:
+        from graphqembed_tpu.parallel.mesh import replicated
+        rep = replicated(mesh)
+        placed_dg = jax.device_put(dg, rep)
+        if neighbor_tables is not None:
+            placed_tables = jax.device_put(neighbor_tables, rep)
+
     def run(params, opt_state, structure: str, key, n_steps: int,
             weight: float, use_hard: bool = False):
-        return scan_fn(params, opt_state, dg, neighbor_tables, structure,
-                       key, n_steps, np.float32(weight), bool(use_hard))
+        return scan_fn(params, opt_state, placed_dg, placed_tables,
+                       structure, key, n_steps, np.float32(weight),
+                       bool(use_hard))
 
     return run
 
@@ -389,7 +425,8 @@ def run_train_onthefly(cfg, schema, params, dg: DeviceGraph,
                        burn_in_steps: int | None = None,
                        steps_per: int = 100, key=None, optimizer=None,
                        log=None, ckpt_manager=None, ckpt_every: int = 0,
-                       resume: bool = False, neighbor_tables=None):
+                       resume: bool = False, neighbor_tables=None,
+                       mesh=None):
     """Production driver for the pool-free pipeline (`gqe-train --pipeline
     onthefly`): burn-in (1p) then weighted multitask over all 7 structures,
     every batch sampled ON DEVICE inside the compiled scan — the
@@ -404,7 +441,11 @@ def run_train_onthefly(cfg, schema, params, dg: DeviceGraph,
     every sample is drawn from fold_in(key, dispatch_i) inside the scan —
     so resume replays bit-identically with no host sampler state to save
     (pinned by tests/test_fault_injection.py). Returns a
-    training/loop.py::TrainResult."""
+    training/loop.py::TrainResult.
+
+    mesh: runs the full protocol multi-chip (see make_onthefly_train_step):
+    params row-sharded here; sampling + training GSPMD-sharded; eval and
+    checkpointing run unchanged on the sharded arrays."""
     import time
 
     from graphqembed_tpu.config import INTERSECT_STRUCTURES, STRUCTURES
@@ -420,10 +461,14 @@ def run_train_onthefly(cfg, schema, params, dg: DeviceGraph,
     burn_in_steps = (burn_in_steps if burn_in_steps is not None
                      else min(cfg.max_burn_in, total_steps))
     optimizer = optimizer or default_optimizer(cfg)
+    if mesh is not None:
+        from graphqembed_tpu.parallel.mesh import shard_params
+        params = shard_params(params, mesh)
     opt_state = optimizer.init(params)
     key = key if key is not None else jax.random.key(cfg.seed)
     step_fn = make_onthefly_train_step(cfg, optimizer, dg,
-                                       neighbor_tables=neighbor_tables)
+                                       neighbor_tables=neighbor_tables,
+                                       mesh=mesh)
     structures = list(STRUCTURES)
     losses: dict[str, list[float]] = {s: [] for s in structures}
     burn_series: list[float] = []
@@ -439,9 +484,12 @@ def run_train_onthefly(cfg, schema, params, dg: DeviceGraph,
     t0 = time.time()
 
     if resume and ckpt_manager is not None:
-        restored = ckpt_manager.restore_latest(
-            like={"params": params, "opt_state": opt_state,
-                  "best_params": params})
+        like = {"params": params, "opt_state": opt_state,
+                "best_params": params}
+        if mesh is not None:
+            from graphqembed_tpu.parallel.mesh import mesh_consistent
+            like = mesh_consistent(like, mesh)
+        restored = ckpt_manager.restore_latest(like=like)
         if restored is not None:
             state, meta = restored
             params = state["params"]

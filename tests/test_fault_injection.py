@@ -39,15 +39,25 @@ def dataset(tmp_path_factory):
     return out
 
 
+# device/onthefly run with an EXPLICIT 8-device mesh (the subprocess
+# inherits the conftest's 8-virtual-device CPU env): SIGKILL + --resume on
+# the SHARDED production trainer — params row-sharded, DP batch split,
+# orbax restore onto the mesh (VERDICT r04 task 1). host/stream stay
+# single-device (their pipelines are single-device by design).
+MESH_FLAGS = {"device": ("--mesh", "8"), "onthefly": ("--mesh", "8")}
+
+
 @pytest.mark.parametrize("pipeline", ["host", "device", "stream",
                                       "onthefly"])
 def test_kill_and_resume(dataset, tmp_path, pipeline):
     model_dir = tmp_path / "run"
     env = {**os.environ, "PYTHONPATH": str(REPO), "JAX_PLATFORMS": "cpu",
            "JAX_COMPILATION_CACHE_DIR": "/tmp/jax_gqe_cpu_cache"}
+    mesh_extra = MESH_FLAGS.get(pipeline, ())
 
     # start training, SIGKILL it once the first checkpoint lands
-    proc = subprocess.Popen(_train_cmd(model_dir, dataset, pipeline=pipeline),
+    proc = subprocess.Popen(_train_cmd(model_dir, dataset, extra=mesh_extra,
+                                       pipeline=pipeline),
                             env=env, stdout=subprocess.DEVNULL,
                             stderr=subprocess.DEVNULL)
     ckpt_root = model_dir / "ckpts"
@@ -69,7 +79,8 @@ def test_kill_and_resume(dataset, tmp_path, pipeline):
 
     # resume: must complete and end at max_iter (device pipeline rounds to
     # dispatch boundaries, so >= max_iter there)
-    out = subprocess.run(_train_cmd(model_dir, dataset, extra=("--resume",),
+    out = subprocess.run(_train_cmd(model_dir, dataset,
+                                    extra=("--resume", *mesh_extra),
                                     pipeline=pipeline),
                          env=env, capture_output=True, text=True, timeout=300)
     assert out.returncode == 0, out.stderr[-2000:]

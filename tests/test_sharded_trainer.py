@@ -1,0 +1,207 @@
+"""The mesh-reachable production trainer (VERDICT r04 task 1/2): the FULL
+§2.5 protocol — burn-in → weighted multitask → in-loop eval → checkpoint —
+composed over the GSPMD sharded mega-step on the simulated 8-device CPU mesh,
+and the sharded form of the onthefly (pool-free) pipeline.
+
+Parity story: batch selection / on-device sampling are pure functions of
+(key, step), so the sharded runs consume IDENTICAL batch streams; losses and
+params match the single-device pipelines up to the DP psum's f32 reduction
+reassociation.
+"""
+
+import jax
+import numpy as np
+import optax
+import pytest
+
+from graphqembed_tpu.config import GQEConfig
+from graphqembed_tpu.data.sampling import QuerySampler
+from graphqembed_tpu.models.params import init_params
+from graphqembed_tpu.parallel import make_mesh, shard_params
+
+
+@pytest.fixture(scope="module")
+def setup(request):
+    graph = request.getfixturevalue("graph")
+    cfg = GQEConfig(embed_dim=16, projection="bilinear", batch_size=32,
+                    lr=0.03, seed=0, val_every=20)
+    s = QuerySampler(graph, np.random.default_rng(2), max_negs=15)
+    train = (s.sample_many("1p", 150) + s.sample_many("2p", 120)
+             + s.sample_many("2i", 120))
+    val = s.sample_many("1p", 40) + s.sample_many("2i", 40)
+    return graph, cfg, train, val
+
+
+def test_full_protocol_mesh_matches_single_device(setup):
+    """run_train_device_mega(mesh=8): the whole protocol (burn-in, weighted
+    multitask, eval-every, best-params tracking) on the mesh produces the
+    same loss series and the same val AUC as the single-device driver at
+    matched budget — the batches are identical by key discipline."""
+    from graphqembed_tpu.training.device_data import (
+        DeviceTrainData,
+        run_train_device_mega,
+    )
+
+    graph, cfg, train, val = setup
+    mesh = make_mesh(8)
+
+    def run(mesh_arg):
+        params = init_params(cfg, graph.schema, jax.random.key(0))
+        data = DeviceTrainData(graph.schema, train)
+        return run_train_device_mega(
+            cfg, graph.schema, params, data, val_queries=val,
+            total_steps=40, burn_in_steps=10, steps_per=5, mesh=mesh_arg)
+
+    r1 = run(None)
+    r8 = run(mesh)
+    assert r8.steps == r1.steps
+    assert r8.burn_in_steps == r1.burn_in_steps
+    for s in r1.losses:
+        np.testing.assert_allclose(r1.losses[s], r8.losses[s],
+                                   rtol=5e-3, atol=1e-4)
+    # same eval points, near-identical macro AUC (f32 reassociation only)
+    assert [s for s, _ in r8.val_history] == [s for s, _ in r1.val_history]
+    for (_, a1), (_, a8) in zip(r1.val_history, r8.val_history):
+        assert abs(a1 - a8) < 0.02, (a1, a8)
+    # the trained table really is row-sharded on the mesh
+    assert r8.params["table"].sharding.spec[0] == "data"
+    n = r1.params["table"].shape[0]
+    np.testing.assert_allclose(np.asarray(r8.params["table"])[:n],
+                               np.asarray(r1.params["table"]),
+                               rtol=5e-3, atol=5e-4)
+
+
+def test_full_protocol_mesh_ckpt_resume(setup, tmp_path):
+    """Checkpoint/resume on the sharded trainer: kill-free equivalence —
+    a run checkpointed at a boundary and resumed reproduces the
+    uninterrupted run bit-for-batch (counter-based selection), on the
+    mesh."""
+    from graphqembed_tpu.training.checkpoint import CheckpointManager
+    from graphqembed_tpu.training.device_data import (
+        DeviceTrainData,
+        run_train_device_mega,
+    )
+
+    graph, cfg, train, val = setup
+    mesh = make_mesh(8)
+
+    def fresh():
+        return (init_params(cfg, graph.schema, jax.random.key(0)),
+                DeviceTrainData(graph.schema, train))
+
+    # uninterrupted
+    p, data = fresh()
+    r_full = run_train_device_mega(cfg, graph.schema, p, data,
+                                   total_steps=30, burn_in_steps=10,
+                                   steps_per=5, mesh=mesh)
+
+    # checkpoint every 10, stop early by budget, then resume to the end
+    p, data = fresh()
+    mgr = CheckpointManager(tmp_path / "ck", keep=3)
+    run_train_device_mega(cfg, graph.schema, p, data, total_steps=20,
+                          burn_in_steps=10, steps_per=5, mesh=mesh,
+                          ckpt_manager=mgr, ckpt_every=10)
+    p, data = fresh()
+    r_res = run_train_device_mega(cfg, graph.schema, p, data, total_steps=30,
+                                  burn_in_steps=10, steps_per=5, mesh=mesh,
+                                  ckpt_manager=mgr, ckpt_every=10,
+                                  resume=True)
+    assert r_res.steps == r_full.steps
+    n = r_full.params["table"].shape[0]
+    np.testing.assert_allclose(np.asarray(r_res.params["table"]),
+                               np.asarray(r_full.params["table"])[:n],
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_sharded_onthefly_matches_single_device(setup):
+    """The pool-free (onthefly) mega-step under the mesh: identical sample
+    stream (pure function of the key — verified exactly by comparing the
+    first dispatch, where no optimizer drift exists yet), and the multi-
+    structure sequence stays within hinge-flip tolerance: the only
+    divergence source is the DP psum's f32 reassociation (~1e-7/step), but
+    Adam normalizes tiny grads toward ±lr and the margin loss has hinge
+    discontinuities, so one flipped row moves a B-row mean by ~margin/B —
+    later dispatches are compared at that granularity (same reasoning as
+    test_sharding.py's depth-1 tolerance note)."""
+    from graphqembed_tpu.training.device_sampler import (
+        DeviceGraph,
+        make_onthefly_train_step,
+    )
+
+    graph, cfg0, _, _ = setup
+    cfg = GQEConfig(embed_dim=16, projection="bilinear", batch_size=64,
+                    lr=0.01, seed=0)
+    dg = DeviceGraph.build(graph, sample_size=8, seed=0)
+    optimizer = optax.adam(cfg.lr)
+    mesh = make_mesh(8)
+    params = init_params(cfg, graph.schema, jax.random.key(1))
+    key = jax.random.key(7)
+
+    p1 = jax.tree.map(lambda x: x.copy(), params)
+    o1 = optimizer.init(p1)
+    scan1 = make_onthefly_train_step(cfg, optimizer, dg)
+
+    p8 = shard_params(jax.tree.map(lambda x: x.copy(), params), mesh)
+    o8 = optimizer.init(p8)
+    scan8 = make_onthefly_train_step(cfg, optimizer, dg, mesh=mesh)
+
+    for i, structure in enumerate(["1p", "2p", "3i", "ip", "pi"]):
+        k = jax.random.fold_in(key, i)
+        hard = structure in ("3i", "ip", "pi")
+        p1, o1, l1 = scan1(p1, o1, structure, k, 4, 1.0, hard)
+        p8, o8, l8 = scan8(p8, o8, structure, k, 4, 1.0, hard)
+        # first dispatch: fresh params on both sides -> only psum
+        # reassociation separates the losses; afterwards hinge flips allow
+        # ~1/B jumps
+        np.testing.assert_allclose(float(l1), float(l8), rtol=1e-5 if i == 0
+                                   else 2e-2)
+    n = params["table"].shape[0]
+    t1 = np.asarray(p1["table"])
+    t8 = np.asarray(p8["table"])[:n]
+    diff = np.abs(t1 - t8)
+    # aggregate closeness: a handful of hinge-flipped rows may drift by a
+    # few lr-steps each; the tables as a whole must agree
+    assert diff.mean() < 1e-3, diff.mean()
+    assert (diff > 0.01).mean() < 0.01, (diff > 0.01).mean()
+    assert p8["table"].sharding.spec[0] == "data"
+
+
+def test_sharded_onthefly_full_protocol(setup):
+    """run_train_onthefly(mesh=8) end to end: full protocol, pool-free,
+    distributed — completes the budget, evaluates, and learns."""
+    from graphqembed_tpu.training.device_sampler import (
+        DeviceGraph,
+        run_train_onthefly,
+    )
+
+    graph, cfg, _, val = setup
+    dg = DeviceGraph.build(graph, sample_size=8, seed=0)
+    mesh = make_mesh(8)
+    params = init_params(cfg, graph.schema, jax.random.key(2))
+    res = run_train_onthefly(cfg, graph.schema, params, dg, val_queries=val,
+                             total_steps=60, burn_in_steps=20, steps_per=5,
+                             mesh=mesh)
+    assert res.steps >= 60
+    assert res.params["table"].sharding.spec[0] == "data"
+    assert res.best_val_auc > 0.5, res.best_val_auc
+
+
+def test_mesh_rejects_fused_adam(setup):
+    from graphqembed_tpu.training.device_data import (
+        DeviceTrainData,
+        FusedAdamOpt,
+        make_multitask_mega_step,
+    )
+    from graphqembed_tpu.training.device_sampler import (
+        DeviceGraph,
+        make_onthefly_train_step,
+    )
+
+    graph, cfg, train, _ = setup
+    mesh = make_mesh(8)
+    data = DeviceTrainData(graph.schema, train)
+    with pytest.raises(ValueError, match="GSPMD"):
+        make_multitask_mega_step(cfg, FusedAdamOpt(cfg.lr), data, mesh=mesh)
+    dg = DeviceGraph.build(graph, sample_size=4, seed=0)
+    with pytest.raises(ValueError, match="GSPMD|partitionable"):
+        make_onthefly_train_step(cfg, FusedAdamOpt(cfg.lr), dg, mesh=mesh)
