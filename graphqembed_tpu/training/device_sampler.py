@@ -36,12 +36,25 @@ from graphqembed_tpu.models.encoders import NeighborTables
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["neighbors", "live_rels", "from_lo", "from_hi", "to_lo",
-                 "to_hi", "rel_rev", "to_mode_id"],
+                 "to_hi", "rel_rev", "to_mode_id", "edges", "node_ptr"],
     meta_fields=[],
 )
 @dataclasses.dataclass
 class DeviceGraph:
-    """Edge-partitioned adjacency sample on device."""
+    """Edge-partitioned adjacency on device: a flat src-ordered directed
+    edge list over the reversal-closed graph (EXACT — every edge, not a
+    sample) plus the S-sampled per-relation neighbor tables (used for hard-
+    negative membership tests, where an approximate subset is inherent).
+
+    The flat list is the round-5 sampler substrate (docs/DESIGN.md §13):
+    a node's out-edges are a contiguous row slice (node_ptr), so
+    - uniform-EDGE sampling is one randint + three [b] gathers (exactly
+      edge-uniform — the pool protocol's 1p distribution, closing the
+      relation-uniform bias of the r04 try-based sampler), and
+    - uniform in-/out-edge sampling AT a node is one randint + gathers
+      (in-edges of n are its out-edges reversed, by reversal closure) —
+      no rejection tries anywhere on the hot path.
+    """
 
     neighbors: jnp.ndarray  # int32 [R, max_from, S], −1 pad, GLOBAL dst ids
     live_rels: jnp.ndarray  # int32 [Rl] relations with ≥1 edge
@@ -51,6 +64,13 @@ class DeviceGraph:
     to_hi: jnp.ndarray
     rel_rev: jnp.ndarray    # int32 [R] reverse relation id
     to_mode_id: jnp.ndarray  # int32 [R] mode id of the to-side
+    # PACKED rows so each random access is ONE row-DMA instead of 2-3
+    # scalar gathers (the sampler is gather-descriptor-bound, ~9 ns/row —
+    # docs/DESIGN.md §13): edges[e] = (rel, src, dst, 0), ordered by src;
+    # node_ptr[n] = (start, out_degree) — out-edges of n are rows
+    # [start, start+deg) of `edges`.
+    edges: jnp.ndarray      # int32 [E, 4]
+    node_ptr: jnp.ndarray   # int32 [N, 2]
 
     @classmethod
     def build(cls, graph: Graph, sample_size: int = 16,
@@ -71,32 +91,126 @@ class DeviceGraph:
                         for i in range(schema.n_relations)], np.int32)
         tmid = np.array([schema.mode_id(r[2]) for r in schema.relations],
                         np.int32)
+        e_src, e_rel, e_dst, gptr = cls._flat_edges(graph)
         return cls(
             neighbors=jnp.asarray(tables.neighbors),
             live_rels=jnp.asarray(np.asarray(live, np.int32)),
             from_lo=jnp.asarray(lo), from_hi=jnp.asarray(hi),
             to_lo=jnp.asarray(tlo), to_hi=jnp.asarray(thi),
             rel_rev=jnp.asarray(rev), to_mode_id=jnp.asarray(tmid),
+            edges=jnp.asarray(np.stack(
+                [e_rel, e_src, e_dst, np.zeros_like(e_rel)], axis=1)),
+            node_ptr=jnp.asarray(np.stack(
+                [gptr[:-1], gptr[1:] - gptr[:-1]], axis=1)),
         )
 
+    @staticmethod
+    def _flat_edges(graph: Graph):
+        """Src-ordered flat directed edge list over ALL relations (vectorized
+        from the per-relation CSRs; ~20 bytes/edge in HBM)."""
+        schema = graph.schema
+        n = schema.n_nodes
+        counts = np.zeros(n, np.int64)
+        rel_rows = []
+        for ri, rel in enumerate(schema.relations):
+            indptr_r, indices_r = graph.csr(rel)
+            rlo, _ = schema.mode_range(rel[0])
+            cnt = np.diff(indptr_r)
+            counts[rlo:rlo + len(cnt)] += cnt
+            rel_rows.append((ri, rlo, indptr_r, indices_r, cnt))
+        gptr = np.zeros(n + 1, np.int64)
+        np.cumsum(counts, out=gptr[1:])
+        e_total = int(gptr[-1])
+        assert e_total < 2**31, e_total
+        e_src = np.empty(e_total, np.int32)
+        e_rel = np.empty(e_total, np.int32)
+        e_dst = np.empty(e_total, np.int32)
+        fill = gptr[:-1].copy()
+        for ri, rlo, indptr_r, indices_r, cnt in rel_rows:
+            if indices_r.size == 0:
+                continue
+            rows = np.repeat(np.arange(len(cnt)), cnt)
+            offs = np.arange(len(indices_r)) - np.repeat(indptr_r[:-1], cnt)
+            pos = fill[rlo + rows] + offs
+            e_src[pos] = (rlo + rows).astype(np.int32)
+            e_rel[pos] = ri
+            e_dst[pos] = indices_r
+            fill[rlo:rlo + len(cnt)] += cnt
+        return e_src, e_rel, e_dst, gptr.astype(np.int32)
 
-def _pick_edges(dg: DeviceGraph, key: jax.Array, b: int, tries: int = 8):
-    """Sample b (rel, src_gid, dst_gid, valid) uniformly-ish: `tries`
-    candidate (rel, src, slot) triples per row, first valid wins."""
-    s = dg.neighbors.shape[2]
-    ks = jax.random.split(key, 3)
-    rel_pos = jax.random.randint(ks[0], (b, tries), 0, dg.live_rels.shape[0])
-    rel = dg.live_rels[rel_pos]                              # [b, T]
-    n_from = dg.from_hi[rel] - dg.from_lo[rel]
-    u = jax.random.randint(ks[1], (b, tries), 0, 1 << 30)
-    local = u % n_from                                       # [b, T]
-    slot = jax.random.randint(ks[2], (b, tries), 0, s)
-    dst = dg.neighbors[rel, local, slot]                     # [b, T]
-    valid = dst >= 0
-    first = jnp.argmax(valid, axis=1)                        # first valid try
-    take = lambda x: jnp.take_along_axis(x, first[:, None], axis=1)[:, 0]
-    ok = jnp.take_along_axis(valid, first[:, None], axis=1)[:, 0]
-    return take(rel), take(local) + dg.from_lo[take(rel)], take(dst), ok
+
+def _pick_edges(dg: DeviceGraph, key: jax.Array, b: int):
+    """Sample b edges EXACTLY edge-uniform (the pool protocol's 1p
+    distribution): one randint into the flat edge list + three [b] gathers.
+    Returns (rel, src_gid, dst_gid, valid) with valid always True — every
+    flat-list row is a real edge. Replaces the r04 8-try
+    relation→node→slot-uniform approximation (docs/DESIGN.md §13: that
+    schedule oversampled low-degree relations/nodes AND cost ~3 gather
+    chains of [b, 8] candidates)."""
+    e = jax.random.randint(key, (b,), 0, dg.edges.shape[0])
+    rows = dg.edges[e]                                   # one [b, 4] gather
+    return rows[:, 0], rows[:, 1], rows[:, 2], jnp.ones((b,), jnp.bool_)
+
+
+def _out_deg(dg: DeviceGraph, node: jnp.ndarray):
+    """(row start, out-degree) of `node` in the flat edge list."""
+    row = dg.node_ptr[node]                              # one [.., 2] gather
+    return row[..., 0], row[..., 1]
+
+
+def _k_distinct_out_edges(dg: DeviceGraph, key: jax.Array,
+                          node: jnp.ndarray, k: int):
+    """k DISTINCT uniform out-edges of `node` (exact without-replacement via
+    sequential skip-insertion, k ≤ 3). In the reversal-closed graph a
+    node's in-edges are its out-edges reversed, so this is also the exact
+    k-distinct-in-branch sampler for intersections. Returns
+    (edge indices [k, b], ok [b] = degree ≥ k)."""
+    assert 1 <= k <= 3, k
+    start, deg = _out_deg(dg, node)
+    ok = deg >= k
+    us = jax.random.randint(key, (k,) + node.shape, 0, 1 << 30)
+    o0 = us[0] % jnp.maximum(deg, 1)
+    offs = [o0]
+    if k >= 2:
+        o1 = us[1] % jnp.maximum(deg - 1, 1)
+        o1 = o1 + (o1 >= o0)
+        offs.append(o1)
+    if k >= 3:
+        o2 = us[2] % jnp.maximum(deg - 2, 1)
+        lo_, hi_ = jnp.minimum(o0, o1), jnp.maximum(o0, o1)
+        o2 = o2 + (o2 >= lo_)
+        o2 = o2 + (o2 >= hi_)
+        offs.append(o2)
+    return start[None] + jnp.stack(offs), ok
+
+
+def _out_edge_excluding_pair(dg: DeviceGraph, key: jax.Array,
+                             node: jnp.ndarray, ex_rel: jnp.ndarray,
+                             ex_dst: jnp.ndarray):
+    """One uniform out-edge of `node`, excluding the (ex_rel, ex_dst) edge:
+    draw, and on a hit take the cyclic successor (which thus carries 2/deg
+    weight — a one-edge bias, accepted; the row offset of a known edge is
+    not available without a per-relation search). Returns (eidx, ok)."""
+    start, deg = _out_deg(dg, node)
+    ok = deg >= 2
+    u = jax.random.randint(key, node.shape, 0, 1 << 30)
+    off = u % jnp.maximum(deg, 1)
+    row = dg.edges[start + off]
+    hit = (row[..., 0] == ex_rel) & (row[..., 2] == ex_dst)
+    off = jnp.where(hit, (off + 1) % jnp.maximum(deg, 1), off)
+    return start + off, ok
+
+
+def _pick_valid(key: jax.Array, valid: jnp.ndarray):
+    """Uniform index among True entries of each row of valid [b, S] (cumsum
+    selection — exact, unlike first-of-random-slots). Returns
+    (idx [b], ok [b])."""
+    cnt = valid.sum(axis=1)
+    u = jax.random.randint(key, (valid.shape[0],), 0, 1 << 30)
+    sel = u % jnp.maximum(cnt, 1)
+    csum = jnp.cumsum(valid, axis=1)
+    idx = jnp.argmax(csum == (sel + 1)[:, None], axis=1)
+    return idx, cnt > 0
 
 
 def _neg_resample(dg: DeviceGraph, key: jax.Array, rel: jnp.ndarray,
@@ -115,74 +229,41 @@ def _neg_resample(dg: DeviceGraph, key: jax.Array, rel: jnp.ndarray,
 def sample_path_batch(dg: DeviceGraph, key: jax.Array, b: int,
                       n_hops: int = 1):
     """On-device 1p/2p/3p batch: anchors [b, 1], rels [b, n_hops],
-    targets [b], negs [b], row_mask [b]. The walk extends FORWARD from a
-    sampled edge (anchor→…→target), each hop a gather into the neighbor
-    table; rows where any hop lands on padding are masked out."""
+    targets [b], negs [b], row_mask [b]. The first edge is EXACTLY
+    edge-uniform (flat list); each further hop is a uniform out-edge of the
+    current node (one randint + two gathers — reversal closure guarantees
+    out-degree ≥ 1 at any reached node, so rows never fail)."""
     k_edge, k_hops, k_neg = jax.random.split(key, 3)
     rel0, src, dst, ok = _pick_edges(dg, k_edge, b)
     rels = [rel0]
     cur = dst
     for h in range(1, n_hops):
         kh = jax.random.fold_in(k_hops, h)
-        k1, k2, k3 = jax.random.split(kh, 3)
-        rel_pos = jax.random.randint(k1, (b,), 0, dg.live_rels.shape[0])
-        # next relation must depart from cur's mode: accept candidates whose
-        # from-range contains cur (retry via tries axis)
-        tries = 8
-        rel_c = dg.live_rels[
-            jax.random.randint(k1, (b, tries), 0, dg.live_rels.shape[0])]
-        in_range = ((cur[:, None] >= dg.from_lo[rel_c])
-                    & (cur[:, None] < dg.from_hi[rel_c]))
-        slot = jax.random.randint(k2, (b, tries), 0, dg.neighbors.shape[2])
-        local = cur[:, None] - dg.from_lo[rel_c]
-        nxt = dg.neighbors[rel_c, jnp.maximum(local, 0), slot]
-        valid = in_range & (nxt >= 0)
-        first = jnp.argmax(valid, axis=1)
-        take = lambda x: jnp.take_along_axis(x, first[:, None], axis=1)[:, 0]
-        ok = ok & jnp.take_along_axis(valid, first[:, None], axis=1)[:, 0]
-        rels.append(take(rel_c))
-        cur = jnp.where(ok, take(nxt), cur)
+        start, deg = _out_deg(dg, cur)
+        u = jax.random.randint(kh, (b,), 0, 1 << 30)
+        rows = dg.edges[start + u % jnp.maximum(deg, 1)]
+        ok = ok & (deg > 0)     # guard; always true under reversal closure
+        rels.append(rows[:, 0])
+        cur = jnp.where(deg > 0, rows[:, 2], cur)
     target = cur
     neg = _neg_resample(dg, k_neg, rels[-1], target)
     return (src[:, None], jnp.stack(rels, axis=1), target, neg, ok)
 
 
-def _in_branch(dg: DeviceGraph, key: jax.Array, node: jnp.ndarray,
-               prev: list, b: int, tries: int = 8):
-    """Sample one in-edge branch of `node`: a (rel, anchor) with
-    anchor —rel→ node, via the REVERSE neighbor table. `prev` is a list of
-    (rel, anchor) pairs to reject as duplicates. Returns (rel, anchor, ok)."""
-    k1, k2 = jax.random.split(key)
-    rel_c = dg.live_rels[
-        jax.random.randint(k1, (b, tries), 0, dg.live_rels.shape[0])]
-    in_range = ((node[:, None] >= dg.to_lo[rel_c])
-                & (node[:, None] < dg.to_hi[rel_c]))
-    rev = dg.rel_rev[rel_c]                              # [b, T]
-    local = node[:, None] - dg.to_lo[rel_c]              # local in rev's from-range
-    slot = jax.random.randint(k2, (b, tries), 0, dg.neighbors.shape[2])
-    anchor = dg.neighbors[rev, jnp.maximum(local, 0), slot]
-    valid = in_range & (anchor >= 0)
-    for rj, aj in prev:
-        valid &= ~((rel_c == rj[:, None]) & (anchor == aj[:, None]))
-    first = jnp.argmax(valid, axis=1)
-    take = lambda x: jnp.take_along_axis(x, first[:, None], axis=1)[:, 0]
-    ok = jnp.take_along_axis(valid, first[:, None], axis=1)[:, 0]
-    return take(rel_c), take(anchor), ok
-
-
 def _hard_neg_branches(dg: DeviceGraph, key: jax.Array,
                        anchors: jnp.ndarray, rels: jnp.ndarray,
-                       tgt: jnp.ndarray, tries: int = 8):
+                       tgt: jnp.ndarray):
     """On-device PARTIAL-BRANCH hard negative for an intersection at the
     node the branches join (SURVEY.md §2.2: hard negatives satisfy a proper
-    subset of the branches): pick a random branch i, sample an alternative
-    endpoint t' of anchor_i via rel_i (so t' SATISFIES branch i), and reject
-    candidates that also appear in another branch j's sampled neighbor row
-    (so t' likely FAILS branch j — membership is tested against the S
-    table samples, the standard on-device approximation). anchors/rels
-    [b, k] in FORWARD orientation (anchor —rel→ join). Returns
-    (hard [b], ok [b]); callers fall back to the plain negative where ok is
-    False."""
+    subset of the branches): pick a random branch i, choose an alternative
+    endpoint t' of anchor_i via rel_i UNIFORMLY among the valid candidates
+    of the S-sampled neighbor row (one row gather + cumsum selection —
+    r05: replaces 8 scalar-gather tries with first-valid bias), rejecting
+    candidates that also appear in branch j's sampled neighbor row (so t'
+    likely FAILS branch j — membership against the S table samples, the
+    standard on-device approximation). anchors/rels [b, k] in FORWARD
+    orientation (anchor —rel→ join). Returns (hard [b], ok [b]); callers
+    fall back to the plain negative where ok is False."""
     b, k_br = anchors.shape
     k1, k2 = jax.random.split(key)
     i = jax.random.randint(k1, (b,), 0, k_br)
@@ -190,8 +271,7 @@ def _hard_neg_branches(dg: DeviceGraph, key: jax.Array,
     rel_i = pick(rels, i)
     anc_i = pick(anchors, i)
     local_i = jnp.maximum(anc_i - dg.from_lo[rel_i], 0)
-    slots = jax.random.randint(k2, (b, tries), 0, dg.neighbors.shape[2])
-    cand = dg.neighbors[rel_i[:, None], local_i[:, None], slots]   # [b, T]
+    cand = dg.neighbors[rel_i, local_i]                            # [b, S]
     j = (i + 1) % k_br
     rel_j = pick(rels, j)
     anc_j = pick(anchors, j)
@@ -199,36 +279,32 @@ def _hard_neg_branches(dg: DeviceGraph, key: jax.Array,
     row_j = dg.neighbors[rel_j, local_j]                           # [b, S]
     sat_j = (cand[:, :, None] == row_j[:, None, :]).any(axis=2)
     valid = (cand >= 0) & (cand != tgt[:, None]) & ~sat_j
-    first = jnp.argmax(valid, axis=1)
-    hard = jnp.take_along_axis(cand, first[:, None], axis=1)[:, 0]
-    ok = jnp.take_along_axis(valid, first[:, None], axis=1)[:, 0]
+    idx, ok = _pick_valid(k2, valid)
+    hard = jnp.take_along_axis(cand, idx[:, None], axis=1)[:, 0]
     return hard, ok
 
 
 def sample_inter_batch(dg: DeviceGraph, key: jax.Array, b: int,
                        k_branches: int = 2):
     """On-device 2i/3i batch: anchors [b, k], rels [b, k], inter_modes [b],
-    targets [b], negs [b], hard_negs [b], hard_ok [b], row_mask [b]. Branch
-    0 comes from an edge pick (anchor0 —rel0→ t); branches 1..k-1 sample
-    in-edges of t via the REVERSE neighbor table (rel_i with
-    t —rev(rel_i)→ anchor_i); rows with no valid in-edge, or duplicate
-    (rel, anchor) branches, are masked out. hard_negs are partial-branch
-    negatives (_hard_neg_branches) with hard_ok marking rows where one was
-    found."""
-    k_edge, k_br, k_neg, k_hard = jax.random.split(key, 4)
-    rel0, a0, tgt, ok = _pick_edges(dg, k_edge, b)
-    rels = [rel0]
-    anchors = [a0]
-    for i in range(1, k_branches):
-        r, a, ok_i = _in_branch(dg, jax.random.fold_in(k_br, i), tgt,
-                                list(zip(rels, anchors)), b)
-        ok = ok & ok_i
-        rels.append(r)
-        anchors.append(a)
+    targets [b], negs [b], hard_negs [b], hard_ok [b], row_mask [b]. The
+    target comes from an edge-uniform pick (so targets are in-degree
+    weighted, as in r04); the k branches are k DISTINCT uniform in-edges of
+    t — exact without-replacement over the flat out-edge row of t reversed
+    (_k_distinct_out_edges), replacing the r04 reject-duplicates retry
+    chain. Rows with in-degree < k are masked out. hard_negs are
+    partial-branch negatives (_hard_neg_branches) with hard_ok marking rows
+    where one was found."""
+    k_t, k_br, k_neg, k_hard = jax.random.split(key, 4)
+    _, _, tgt, _ = _pick_edges(dg, k_t, b)
+    eidx, ok = _k_distinct_out_edges(dg, k_br, tgt, k_branches)  # [k, b]
+    rows = dg.edges[eidx]                         # one [k, b, 4] gather
+    anchors = rows[..., 2]                        # [k, b]
+    rels = dg.rel_rev[rows[..., 0]]               # forward: a —rel→ tgt
     inter_modes = dg.to_mode_id[rels[0]]
     neg = _neg_resample(dg, k_neg, rels[0], tgt)
-    a_stack = jnp.stack(anchors, axis=1)
-    r_stack = jnp.stack(rels, axis=1)
+    a_stack = anchors.T
+    r_stack = rels.T
     hard, hard_ok = _hard_neg_branches(dg, k_hard, a_stack, r_stack, tgt)
     return (a_stack, r_stack, inter_modes, tgt, neg,
             jnp.where(hard_ok, hard, neg), hard_ok, ok)
@@ -236,27 +312,32 @@ def sample_inter_batch(dg: DeviceGraph, key: jax.Array, b: int,
 
 def sample_ip_batch(dg: DeviceGraph, key: jax.Array, b: int):
     """On-device ip batch — (a1 —r1→ v) ∧ (a2 —r2→ v), then v —r3→ t
-    [mirrors native/sampler.cpp case 5]: pick the final edge (r3, v, t),
-    then two distinct in-branches at the JOIN node v. anchors [b, 2],
+    [mirrors native/sampler.cpp case 5]: pick the final edge (r3, v, t)
+    edge-uniform, then two DISTINCT in-branches at the JOIN node v (exact
+    without-replacement over v's reversed out-edges). anchors [b, 2],
     rels [b, 3] = (r1, r2, r3), inter_modes [b] = v's mode."""
-    k_edge, k_b1, k_b2, k_neg, k_hard, k_hp = jax.random.split(key, 6)
-    r3, v, tgt, ok = _pick_edges(dg, k_edge, b)
-    r1, a1, ok1 = _in_branch(dg, k_b1, v, [], b)
-    r2, a2, ok2 = _in_branch(dg, k_b2, v, [(r1, a1)], b)
-    ok = ok & ok1 & ok2
+    k_edge, k_br, k_neg, k_hard, k_hp = jax.random.split(key, 5)
+    r3, v, tgt, _ = _pick_edges(dg, k_edge, b)
+    eidx, ok = _k_distinct_out_edges(dg, k_br, v, 2)
+    rows = dg.edges[eidx]                         # one [2, b, 4] gather
+    a1, a2 = rows[0, :, 2], rows[1, :, 2]
+    r1 = dg.rel_rev[rows[0, :, 0]]
+    r2 = dg.rel_rev[rows[1, :, 0]]
     anchors = jnp.stack([a1, a2], axis=1)
     rels = jnp.stack([r1, r2, r3], axis=1)
     inter_modes = dg.to_mode_id[r1]      # join node v's mode
     neg = _neg_resample(dg, k_neg, r3, tgt)
     # hard negative: a partial-branch join v' (satisfies one of the two
     # branches at v, fails the other), projected through r3 — so t' is
-    # answerable for a proper subset of the query's constraints
+    # answerable for a proper subset of the query's constraints; the r3
+    # projection picks uniformly among valid sampled neighbors of v'
     v_hard, hok = _hard_neg_branches(dg, k_hard, anchors,
                                      jnp.stack([r1, r2], axis=1), v)
     local = jnp.maximum(v_hard - dg.from_lo[r3], 0)
-    slot = jax.random.randint(k_hp, (b,), 0, dg.neighbors.shape[2])
-    t_hard = dg.neighbors[r3, local, slot]
-    hok = hok & (t_hard >= 0) & (t_hard != tgt)
+    row = dg.neighbors[r3, local]                              # [b, S]
+    idx, hok2 = _pick_valid(k_hp, (row >= 0) & (row != tgt[:, None]))
+    t_hard = jnp.take_along_axis(row, idx[:, None], axis=1)[:, 0]
+    hok = hok & hok2
     return (anchors, rels, inter_modes, tgt, neg,
             jnp.where(hok, t_hard, neg), hok, ok)
 
@@ -264,15 +345,21 @@ def sample_ip_batch(dg: DeviceGraph, key: jax.Array, b: int):
 def sample_pi_batch(dg: DeviceGraph, key: jax.Array, b: int):
     """On-device pi batch — (a1 —r1→ v —r2→ t) ∧ (a2 —r3→ t)
     [mirrors native/sampler.cpp case 6]: pick the chain's last edge
-    (r2, v, t), extend backwards to a1 via an in-branch at v, add the edge
-    branch (r3, a2) at t, rejecting the degenerate duplicate of the chain's
-    own last edge. anchors [b, 2], rels [b, 3] = (r1, r2, r3),
+    (r2, v, t) edge-uniform, extend backwards to a1 via a uniform in-edge
+    of v (always exists: v's reversed edge to t), add the edge branch
+    (r3, a2) at t excluding the chain's own last edge
+    (_out_edge_excluding_pair). anchors [b, 2], rels [b, 3] = (r1, r2, r3),
     inter_modes [b] = t's mode."""
     k_edge, k_b1, k_b2, k_neg, k_hard = jax.random.split(key, 5)
-    r2, v, tgt, ok = _pick_edges(dg, k_edge, b)
-    r1, a1, ok1 = _in_branch(dg, k_b1, v, [], b)
-    r3, a2, ok2 = _in_branch(dg, k_b2, tgt, [(r2, v)], b)
-    ok = ok & ok1 & ok2
+    r2, v, tgt, _ = _pick_edges(dg, k_edge, b)
+    e1, _ = _k_distinct_out_edges(dg, k_b1, v, 1)
+    row1 = dg.edges[e1[0]]
+    r1 = dg.rel_rev[row1[:, 0]]
+    a1 = row1[:, 2]
+    e2, ok = _out_edge_excluding_pair(dg, k_b2, tgt, dg.rel_rev[r2], v)
+    row2 = dg.edges[e2]
+    r3 = dg.rel_rev[row2[:, 0]]
+    a2 = row2[:, 2]
     anchors = jnp.stack([a1, a2], axis=1)
     rels = jnp.stack([r1, r2, r3], axis=1)
     inter_modes = dg.to_mode_id[r3]      # intersection at the target mode

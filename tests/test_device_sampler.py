@@ -143,7 +143,13 @@ def test_onthefly_training_learns(dg):
         params, opt_state, l1 = run(params, opt_state, "1p",
                                     jax.random.fold_in(jax.random.key(2), i),
                                     60, 1.0)
-    assert float(l1) < 0.6 * float(l0), (float(l0), float(l1))
+    # r05 note: the exact edge-uniform sampler plateaus at a HIGHER loss
+    # than the r04 node-uniform-ish one did (hub edges dominate the stream
+    # and carry irreducible margin loss under transE; fresh edges every
+    # step also preclude the pool pipeline's memorization) — the quality
+    # metric (AUC, test_run_train_onthefly_quality) is what matters, and
+    # matches. This asserts learning, not a fitted floor.
+    assert float(l1) < 0.8 * float(l0), (float(l0), float(l1))
     params, opt_state, li = run(params, opt_state, "2i", jax.random.key(3),
                                 20, 1.0)
     assert np.isfinite(float(li))
