@@ -27,6 +27,12 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", type=str, default="bio",
+                    choices=["bio", "bio-latent"],
+                    help="bio-latent: the latent-community family the "
+                         "quality flagship runs on (r05 — pins the oracle "
+                         "bar where learning actually happens, VERDICT r04 "
+                         "task 4)")
     ap.add_argument("--scale", type=float, default=2.0)
     ap.add_argument("--n_train", type=int, default=8000)
     ap.add_argument("--n_val", type=int, default=400)
@@ -40,7 +46,10 @@ def main():
 
     from graphqembed_tpu.config import STRUCTURES, GQEConfig
     from graphqembed_tpu.data.sampling import parallel_sample
-    from graphqembed_tpu.graph.synthetic import synthetic_graph
+    from graphqembed_tpu.graph.synthetic import (
+        synthetic_graph,
+        synthetic_graph_latent,
+    )
     from graphqembed_tpu.models.params import init_params, params_to_numpy
     from graphqembed_tpu.oracle.train import (
         eval_apr_oracle,
@@ -59,7 +68,8 @@ def main():
                     tol=0.0, conv_window=10**6, seed=0)
 
     t0 = time.time()
-    graph = synthetic_graph(seed=0, scale=args.scale, avg_degree=8.0)
+    gen = {"bio": synthetic_graph, "bio-latent": synthetic_graph_latent}
+    graph = gen[args.dataset](seed=0, scale=args.scale, avg_degree=8.0)
     print(f"graph: {graph.schema.n_nodes} nodes, {graph.num_edges()} edges",
           flush=True)
     train, val = [], []
@@ -106,6 +116,7 @@ def main():
 
     r = lambda d: {k: round(v, 4) for k, v in d.items()}
     report = {
+        "dataset": args.dataset,
         "graph": {"nodes": graph.schema.n_nodes, "edges": graph.num_edges(),
                   "scale": args.scale},
         "config": {"projection": cfg.projection, "d": cfg.embed_dim,
@@ -133,7 +144,9 @@ def main():
         f"| {hard_o.get(st, nan):.3f} "
         f"| {hard_j.get(st, nan):.3f} |"
         for st in (*STRUCTURES, "macro"))
-    md = f"""# Oracle-trained quality parity
+    out = ("RESULTS_oracle_parity.md" if args.dataset == "bio"
+           else "RESULTS_oracle_parity_latent.md")
+    md = f"""# Oracle-trained quality parity ({args.dataset})
 
 The quality bar for this framework (SURVEY.md §7: the reference mount is
 empty, so the in-tree PyTorch oracle TRAINED with the §2.5 protocol defines
@@ -141,7 +154,7 @@ reference AUC/APR). Both rows below trained with IDENTICAL batch schedules
 (shared numpy sampler, same seed), identical init, dense Adam lr={cfg.lr},
 {args.steps} steps (burn-in {args.burn_in}), bilinear/min, d=128, B=512, on a
 {graph.schema.n_nodes}-node / {graph.num_edges()}-edge synthetic bio KG with
-{args.n_train} train queries per structure.
+{args.n_train} train queries per structure ({args.dataset} family).
 
 | structure | oracle AUC | JAX AUC | Δ AUC | oracle APR | JAX APR | oracle hard-AUC | JAX hard-AUC |
 |---|---|---|---|---|---|---|---|
@@ -155,11 +168,11 @@ reference AUC/APR). Both rows below trained with IDENTICAL batch schedules
   {jax.default_backend()}): {t_jax:.0f}s — same schedule, same host
 - enforced continuously at smaller budget by tests/test_oracle_trained.py
 
-Raw JSON: `RESULTS_oracle_parity.json`.
+Raw JSON: `{Path(out).with_suffix(".json").name}`.
 """
-    Path("RESULTS_oracle_parity.md").write_text(md)
-    Path("RESULTS_oracle_parity.json").write_text(json.dumps(report, indent=2))
-    print("wrote RESULTS_oracle_parity.md")
+    Path(out).write_text(md)
+    Path(out).with_suffix(".json").write_text(json.dumps(report, indent=2))
+    print(f"wrote {out}")
 
 
 if __name__ == "__main__":

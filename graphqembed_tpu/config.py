@@ -24,6 +24,20 @@ PROJECTION_KINDS = ("transe", "distmult", "bilinear")
 INTERSECTION_KINDS = ("min", "mean")
 SCORING_KINDS = ("cosine", "dot", "l2")  # edge-scoring decoder family
 
+# Measured production recommendation for payload-bound meshes
+# (experiments/gather_waste.py, docs/DESIGN.md §4 addendum): capacity factor
+# 2.0 keeps owner-compute gather drops at ~0.03% for QUERY-id traffic
+# (anchors/targets/negatives, hub-skewed) while cutting the all-to-all
+# payload ~4x vs the exact worst case. SCOPE LIMIT, measured in
+# tests/test_sharded_deep.py::test_recommended_capacity_factor: depth>0
+# NEIGHBOR traffic is mode-clustered (whole modes land on few shards when
+# N/shard is small), which is structurally more skewed — there factor 4.0
+# is the recommendation (still halves the worst-case payload; bit-exact in
+# the test's deep path). The CONFIG DEFAULT stays exact
+# (gather_capacity_factor=0.0 — zero drops under any skew).
+RECOMMENDED_GATHER_CAPACITY_FACTOR = 2.0
+RECOMMENDED_GATHER_CAPACITY_FACTOR_DEEP = 4.0
+
 
 
 @dataclasses.dataclass(frozen=True)
@@ -67,6 +81,17 @@ class GQEConfig:
     # at paper scale (RESULTS_bio_paperscale.md). Host loop and oracle keep
     # strict alternation (the parity protocol).
     hard_neg_frac: float = 0.5
+    # Anchor/target distribution of the ON-DEVICE (onthefly) sampler's edge
+    # picks (training/device_sampler.py::_pick_edges):
+    #   "node": uniform node (with >=1 out-edge) then uniform out-edge —
+    #           oversamples low-degree nodes' edges relative to the pool
+    #           protocol, which measurably HELPS quality (tail nodes get
+    #           positive gradients; mid-scale guard r05: val +0.0246, hard
+    #           +0.0344 over "edge", and +0.0179/+0.0273 over the exact-
+    #           negative pool pipeline — RESULTS_onthefly_quality.md);
+    #   "edge": exactly edge-uniform (the pool/1p protocol distribution).
+    # Both are rejection-free one-randint picks on the flat CSR.
+    onthefly_anchor_dist: str = "node"
     seed: int = 0
 
     # --- eval (SURVEY.md §2.6) ---
@@ -123,6 +148,8 @@ class GQEConfig:
         assert self.compute_dtype in ("float32", "bfloat16")
         assert self.storage_dtype in ("float32", "bfloat16")
         assert 0.0 <= self.hard_neg_frac <= 1.0, self.hard_neg_frac
+        assert self.onthefly_anchor_dist in ("node", "edge"), \
+            self.onthefly_anchor_dist
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)

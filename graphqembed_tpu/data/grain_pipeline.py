@@ -563,7 +563,9 @@ def run_train_stream(cfg, schema, params, data_dir, val_queries=None,
             maybe_ckpt()
 
     def do_eval(params):
-        nonlocal best_val, best_params
+        nonlocal best_val, best_params, val_queries
+        from graphqembed_tpu.training.loop import resolve_queries
+        val_queries = resolve_queries(val_queries)
         aucs = eval_auc(cfg, params, schema, val_queries, seed=cfg.seed,
                         neighbor_tables=neighbor_tables)
         macro = aucs.get("macro", 0.0)

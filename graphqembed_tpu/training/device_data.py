@@ -718,6 +718,7 @@ def run_train_device_mega(cfg: GQEConfig, schema: Schema, params: dict,
     t_eval = 0.0
     t_ckpt = 0.0
     t_pool_wait = 0.0
+    t_val_wait = 0.0   # blocked on a deferred (callable) val_queries future
     last_ckpt = 0
 
     if resume and ckpt_manager is not None:
@@ -808,6 +809,10 @@ def run_train_device_mega(cfg: GQEConfig, schema: Schema, params: dict,
         multi_series.extend(ml.mean(axis=1).tolist())
         if val_queries:
             te = time.time()
+            from graphqembed_tpu.training.loop import resolve_queries
+            val_queries = resolve_queries(val_queries)
+            t_val_wait += time.time() - te
+            te = time.time()
             aucs = eval_auc(cfg, params, schema, val_queries, seed=cfg.seed,
                             neighbor_tables=neighbor_tables)
             t_eval += time.time() - te
@@ -825,6 +830,8 @@ def run_train_device_mega(cfg: GQEConfig, schema: Schema, params: dict,
     if val_queries and not val_history:
         # Burn-in consumed the whole budget (or total_steps == 0): evaluate
         # once so best_val_auc is never a meaningless -1.
+        from graphqembed_tpu.training.loop import resolve_queries
+        val_queries = resolve_queries(val_queries)
         aucs = eval_auc(cfg, params, schema, val_queries, seed=cfg.seed,
                         neighbor_tables=neighbor_tables)
         macro = aucs.get("macro", 0.0)
@@ -840,7 +847,7 @@ def run_train_device_mega(cfg: GQEConfig, schema: Schema, params: dict,
         val_history=val_history,
         queries_per_sec=(done * cfg.batch_size / t_train) if t_train else 0.0,
         timings={"train_s": t_train, "eval_s": t_eval, "ckpt_s": t_ckpt,
-                 "pool_wait_s": t_pool_wait},
+                 "pool_wait_s": t_pool_wait, "val_wait_s": t_val_wait},
     )
 
 

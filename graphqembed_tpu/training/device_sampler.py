@@ -139,14 +139,27 @@ class DeviceGraph:
         return e_src, e_rel, e_dst, gptr.astype(np.int32)
 
 
-def _pick_edges(dg: DeviceGraph, key: jax.Array, b: int):
-    """Sample b edges EXACTLY edge-uniform (the pool protocol's 1p
-    distribution): one randint into the flat edge list + three [b] gathers.
-    Returns (rel, src_gid, dst_gid, valid) with valid always True — every
-    flat-list row is a real edge. Replaces the r04 8-try
-    relation→node→slot-uniform approximation (docs/DESIGN.md §13: that
-    schedule oversampled low-degree relations/nodes AND cost ~3 gather
-    chains of [b, 8] candidates)."""
+def _pick_edges(dg: DeviceGraph, key: jax.Array, b: int,
+                dist: str = "edge"):
+    """Sample b edges, rejection-free on the flat CSR. Returns
+    (rel, src_gid, dst_gid, valid).
+
+    dist="edge": EXACTLY edge-uniform (the pool protocol's 1p
+    distribution) — one randint into the flat edge list + one packed [b, 4]
+    row gather; valid always True.
+    dist="node": uniform NODE then uniform out-edge — oversamples
+    low-degree nodes' edges (≈ the r04 sampler's schedule, which the
+    mid-scale guard shows HELPS quality: tail nodes get positive
+    gradients); rows landing on a zero-out-degree node are masked.
+    Either way this replaces the r04 8-try relation→node→slot chain
+    (docs/DESIGN.md §13)."""
+    if dist == "node":
+        k1, k2 = jax.random.split(key)
+        node = jax.random.randint(k1, (b,), 0, dg.node_ptr.shape[0])
+        start, deg = _out_deg(dg, node)
+        u = jax.random.randint(k2, (b,), 0, 1 << 30)
+        rows = dg.edges[start + u % jnp.maximum(deg, 1)]
+        return rows[:, 0], rows[:, 1], rows[:, 2], deg > 0
     e = jax.random.randint(key, (b,), 0, dg.edges.shape[0])
     rows = dg.edges[e]                                   # one [b, 4] gather
     return rows[:, 0], rows[:, 1], rows[:, 2], jnp.ones((b,), jnp.bool_)
@@ -227,14 +240,14 @@ def _neg_resample(dg: DeviceGraph, key: jax.Array, rel: jnp.ndarray,
 
 
 def sample_path_batch(dg: DeviceGraph, key: jax.Array, b: int,
-                      n_hops: int = 1):
+                      n_hops: int = 1, dist: str = "edge"):
     """On-device 1p/2p/3p batch: anchors [b, 1], rels [b, n_hops],
     targets [b], negs [b], row_mask [b]. The first edge is EXACTLY
     edge-uniform (flat list); each further hop is a uniform out-edge of the
     current node (one randint + two gathers — reversal closure guarantees
     out-degree ≥ 1 at any reached node, so rows never fail)."""
     k_edge, k_hops, k_neg = jax.random.split(key, 3)
-    rel0, src, dst, ok = _pick_edges(dg, k_edge, b)
+    rel0, src, dst, ok = _pick_edges(dg, k_edge, b, dist)
     rels = [rel0]
     cur = dst
     for h in range(1, n_hops):
@@ -285,7 +298,7 @@ def _hard_neg_branches(dg: DeviceGraph, key: jax.Array,
 
 
 def sample_inter_batch(dg: DeviceGraph, key: jax.Array, b: int,
-                       k_branches: int = 2):
+                       k_branches: int = 2, dist: str = "edge"):
     """On-device 2i/3i batch: anchors [b, k], rels [b, k], inter_modes [b],
     targets [b], negs [b], hard_negs [b], hard_ok [b], row_mask [b]. The
     target comes from an edge-uniform pick (so targets are in-degree
@@ -296,8 +309,9 @@ def sample_inter_batch(dg: DeviceGraph, key: jax.Array, b: int,
     partial-branch negatives (_hard_neg_branches) with hard_ok marking rows
     where one was found."""
     k_t, k_br, k_neg, k_hard = jax.random.split(key, 4)
-    _, _, tgt, _ = _pick_edges(dg, k_t, b)
+    _, _, tgt, ok_t = _pick_edges(dg, k_t, b, dist)
     eidx, ok = _k_distinct_out_edges(dg, k_br, tgt, k_branches)  # [k, b]
+    ok = ok & ok_t
     rows = dg.edges[eidx]                         # one [k, b, 4] gather
     anchors = rows[..., 2]                        # [k, b]
     rels = dg.rel_rev[rows[..., 0]]               # forward: a —rel→ tgt
@@ -310,15 +324,17 @@ def sample_inter_batch(dg: DeviceGraph, key: jax.Array, b: int,
             jnp.where(hard_ok, hard, neg), hard_ok, ok)
 
 
-def sample_ip_batch(dg: DeviceGraph, key: jax.Array, b: int):
+def sample_ip_batch(dg: DeviceGraph, key: jax.Array, b: int,
+                    dist: str = "edge"):
     """On-device ip batch — (a1 —r1→ v) ∧ (a2 —r2→ v), then v —r3→ t
     [mirrors native/sampler.cpp case 5]: pick the final edge (r3, v, t)
     edge-uniform, then two DISTINCT in-branches at the JOIN node v (exact
     without-replacement over v's reversed out-edges). anchors [b, 2],
     rels [b, 3] = (r1, r2, r3), inter_modes [b] = v's mode."""
     k_edge, k_br, k_neg, k_hard, k_hp = jax.random.split(key, 5)
-    r3, v, tgt, _ = _pick_edges(dg, k_edge, b)
+    r3, v, tgt, ok_t = _pick_edges(dg, k_edge, b, dist)
     eidx, ok = _k_distinct_out_edges(dg, k_br, v, 2)
+    ok = ok & ok_t
     rows = dg.edges[eidx]                         # one [2, b, 4] gather
     a1, a2 = rows[0, :, 2], rows[1, :, 2]
     r1 = dg.rel_rev[rows[0, :, 0]]
@@ -342,7 +358,8 @@ def sample_ip_batch(dg: DeviceGraph, key: jax.Array, b: int):
             jnp.where(hok, t_hard, neg), hok, ok)
 
 
-def sample_pi_batch(dg: DeviceGraph, key: jax.Array, b: int):
+def sample_pi_batch(dg: DeviceGraph, key: jax.Array, b: int,
+                    dist: str = "edge"):
     """On-device pi batch — (a1 —r1→ v —r2→ t) ∧ (a2 —r3→ t)
     [mirrors native/sampler.cpp case 6]: pick the chain's last edge
     (r2, v, t) edge-uniform, extend backwards to a1 via a uniform in-edge
@@ -351,12 +368,13 @@ def sample_pi_batch(dg: DeviceGraph, key: jax.Array, b: int):
     (_out_edge_excluding_pair). anchors [b, 2], rels [b, 3] = (r1, r2, r3),
     inter_modes [b] = t's mode."""
     k_edge, k_b1, k_b2, k_neg, k_hard = jax.random.split(key, 5)
-    r2, v, tgt, _ = _pick_edges(dg, k_edge, b)
+    r2, v, tgt, ok_t = _pick_edges(dg, k_edge, b, dist)
     e1, _ = _k_distinct_out_edges(dg, k_b1, v, 1)
     row1 = dg.edges[e1[0]]
     r1 = dg.rel_rev[row1[:, 0]]
     a1 = row1[:, 2]
     e2, ok = _out_edge_excluding_pair(dg, k_b2, tgt, dg.rel_rev[r2], v)
+    ok = ok & ok_t
     row2 = dg.edges[e2]
     r3 = dg.rel_rev[row2[:, 0]]
     a2 = row2[:, 2]
@@ -374,23 +392,25 @@ def sample_pi_batch(dg: DeviceGraph, key: jax.Array, b: int):
 
 
 def sample_structure_batch(dg: DeviceGraph, key: jax.Array, b: int,
-                           structure: str):
+                           structure: str, dist: str = "edge"):
     """Dispatch table over all 7 structures -> (anchors, rels, inter_modes,
-    targets, negs, hard_negs, hard_ok, row_mask). `structure` is static.
-    Chains carry hard_negs == negs with hard_ok all-False (no intersection
-    to take a partial branch of)."""
+    targets, negs, hard_negs, hard_ok, row_mask). `structure` and `dist`
+    (see _pick_edges / GQEConfig.onthefly_anchor_dist) are static. Chains
+    carry hard_negs == negs with hard_ok all-False (no intersection to take
+    a partial branch of)."""
     if structure in ("1p", "2p", "3p"):
         anchors, rels, tgt, neg, mask = sample_path_batch(
-            dg, key, b, n_hops=int(structure[0]))
+            dg, key, b, n_hops=int(structure[0]), dist=dist)
         modes = jnp.full((b,), -1, jnp.int32)
         return (anchors, rels, modes, tgt, neg, neg,
                 jnp.zeros((b,), jnp.bool_), mask)
     if structure in ("2i", "3i"):
-        return sample_inter_batch(dg, key, b, k_branches=int(structure[0]))
+        return sample_inter_batch(dg, key, b, k_branches=int(structure[0]),
+                                  dist=dist)
     if structure == "ip":
-        return sample_ip_batch(dg, key, b)
+        return sample_ip_batch(dg, key, b, dist=dist)
     if structure == "pi":
-        return sample_pi_batch(dg, key, b)
+        return sample_pi_batch(dg, key, b, dist=dist)
     raise ValueError(structure)
 
 
@@ -456,8 +476,10 @@ def make_onthefly_train_step(cfg, optimizer, dg: DeviceGraph,
         # fold_in(key, t).
         ts = jnp.arange(n_steps)
         keys = jax.vmap(lambda t: jax.random.fold_in(key, t))(ts)
+        dist = getattr(cfg, "onthefly_anchor_dist", "node")
         batches = jax.vmap(
-            lambda k: sample_structure_batch(dg, k, b, structure))(keys)
+            lambda k: sample_structure_batch(dg, k, b, structure,
+                                             dist=dist))(keys)
         if batch_constraint is not None:
             batches = jax.tree.map(batch_constraint, batches)
 
@@ -648,6 +670,8 @@ def run_train_onthefly(cfg, schema, params, dg: DeviceGraph,
                                                 total_steps - done)))
         multi_series.append(float(np.mean(round_losses)))
         if val_queries and done >= next_eval:
+            from graphqembed_tpu.training.loop import resolve_queries
+            val_queries = resolve_queries(val_queries)
             aucs = eval_auc(cfg, params, schema, val_queries, seed=cfg.seed,
                             neighbor_tables=neighbor_tables)
             macro = aucs.get("macro", 0.0)
@@ -661,6 +685,8 @@ def run_train_onthefly(cfg, schema, params, dg: DeviceGraph,
             break
     maybe_ckpt(force=True)  # final state (resume-to-completion lands here)
     if val_queries and not val_history:
+        from graphqembed_tpu.training.loop import resolve_queries
+        val_queries = resolve_queries(val_queries)
         aucs = eval_auc(cfg, params, schema, val_queries, seed=cfg.seed,
                         neighbor_tables=neighbor_tables)
         best_macro = aucs.get("macro", 0.0)

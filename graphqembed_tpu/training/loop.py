@@ -42,6 +42,15 @@ from graphqembed_tpu.training.eval import eval_auc
 logger = logging.getLogger("graphqembed_tpu")
 
 
+def resolve_queries(q):
+    """val_queries may be a CALLABLE returning the query list: eval sets are
+    only needed at the first eval boundary, so their (host, C++) sampling can
+    overlap with burn-in running on the device — pass a closure that joins a
+    sampling future (the deferred_pools pattern applied to eval sets,
+    VERDICT r04 task 7). Resolved once by each driver at first use."""
+    return q() if callable(q) else q
+
+
 def check_conv(losses: list[float], window: int, tol: float) -> bool:
     """Windowed relative-improvement convergence check
     [R: netquery/utils.py::check_conv (conf=M)]: converged when the mean of
@@ -272,6 +281,7 @@ def run_train(
             ckpt_manager.save(step_i, params, opt_state, rng_state=data.rng)
 
         if val_queries and step_i % cfg.val_every == 0:
+            val_queries = resolve_queries(val_queries)
             aucs = eval_auc(cfg, params, schema, val_queries, seed=cfg.seed,
                             neighbor_tables=neighbor_tables)
             macro = aucs.get("macro", 0.0)

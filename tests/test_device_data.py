@@ -328,3 +328,33 @@ def test_hard_neg_frac_schedule(graph):
     params, _, loss = scan(params, opt.init(params), data.pools["2i"], "2i",
                            jax.random.key(1), 30, 1.0, True)
     assert np.isfinite(float(loss))
+
+
+def test_run_train_device_mega_deferred_val_queries(graph):
+    """val_queries as a CALLABLE (r05: eval-set sampling overlapped with
+    burn-in): resolved lazily at the first eval boundary — not during
+    burn-in — invoked exactly once, and the run evaluates normally
+    (val_history populated, timings record the join wait)."""
+    from graphqembed_tpu.training.device_data import run_train_device_mega
+
+    cfg = GQEConfig(embed_dim=16, projection="transe", batch_size=32,
+                    lr=0.05, seed=0, val_every=100, tol=0.0,
+                    conv_window=10**6)
+    s = QuerySampler(graph, np.random.default_rng(9), max_negs=10)
+    data = DeviceTrainData(graph.schema,
+                           s.sample_many("1p", 200) + s.sample_many("2i", 150))
+    sv = QuerySampler(graph, np.random.default_rng(10), max_negs=10)
+    called = {"n": 0}
+
+    def val_fn():
+        called["n"] += 1
+        return sv.sample_many("1p", 40) + sv.sample_many("2i", 40)
+
+    params = init_params(cfg, graph.schema, jax.random.key(5))
+    res = run_train_device_mega(cfg, graph.schema, params, data,
+                                total_steps=300, burn_in_steps=100,
+                                steps_per=20, val_queries=val_fn)
+    assert called["n"] == 1
+    assert len(res.val_history) >= 1
+    assert res.best_val_auc > 0
+    assert "val_wait_s" in (res.timings or {})

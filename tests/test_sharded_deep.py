@@ -140,3 +140,47 @@ def test_sharded_deep_step_trains(graph, mesh, tables):
         losses.append(float(loss))
     assert losses[-1] < 0.7 * losses[0], (losses[0], losses[-1])
     assert np.isfinite(np.asarray(params["table"])).all()
+
+
+def test_recommended_capacity_factor(graph, mesh, tables):
+    """The capacity-bounded gather recommendation, asserted where payloads
+    matter — the sharded DEEP path. Two findings pinned:
+
+    1. factor 2.0 (config.py::RECOMMENDED_GATHER_CAPACITY_FACTOR, measured
+       at ~0.03% drops on QUERY-id traffic — gather_waste.py) is NOT
+       sufficient for depth-1 NEIGHBOR traffic on this toy graph: neighbor
+       ids are mode-clustered (440 nodes / 8 shards puts whole modes on
+       1-2 shards), a structurally skewed owner distribution that drops a
+       bounded but visible fraction of rows. The config comment documents
+       this scope limit.
+    2. factor 4.0 still halves the worst-case payload AND reproduces the
+       exact encoding bit-for-bit here — the deep-path recommendation.
+    """
+    from graphqembed_tpu.config import RECOMMENDED_GATHER_CAPACITY_FACTOR
+
+    cfg_exact = GQEConfig(embed_dim=16, depth=1)
+    params = init_params(cfg_exact, graph.schema, jax.random.key(3))
+    sp = shard_params(params, mesh)
+    st = ShardedNeighborTables.build(mesh, tables)
+    ids = np.random.default_rng(4).integers(
+        0, graph.schema.n_nodes, size=512).astype(np.int32)
+
+    ref = sage_encode_sharded(cfg_exact, mesh, sp["table"], sp["encoder"], st,
+                              jax.numpy.asarray(ids), depth=1,
+                              aggregator="mean")
+    outs = {}
+    for factor in (RECOMMENDED_GATHER_CAPACITY_FACTOR, 4.0):
+        cfg_f = GQEConfig(embed_dim=16, depth=1,
+                          gather_capacity_factor=factor)
+        outs[factor] = np.asarray(sage_encode_sharded(
+            cfg_f, mesh, sp["table"], sp["encoder"], st,
+            jax.numpy.asarray(ids), depth=1, aggregator="mean"))
+    ref = np.asarray(ref)
+    # (1) factor 2.0: drops bounded (<15% of rows on this adversarial
+    # mode-clustered toy), untouched rows bit-exact
+    differs = (outs[RECOMMENDED_GATHER_CAPACITY_FACTOR] != ref).any(axis=1)
+    assert differs.mean() < 0.15, differs.mean()
+    np.testing.assert_array_equal(
+        outs[RECOMMENDED_GATHER_CAPACITY_FACTOR][~differs], ref[~differs])
+    # (2) factor 4.0: bit-exact in the deep path
+    np.testing.assert_array_equal(outs[4.0], ref)
