@@ -45,9 +45,12 @@ def build(cfg_overrides=None):
 
 
 def make_step(cfg, optimizer):
-    """The per-scan-iteration body as a standalone function (same math as
-    training/device_data.py::make_scan_train_step's body, minus the pool
-    indexing — anchors/rels/etc arrive as batch arrays)."""
+    """The per-scan-iteration body as a standalone function — r05: the
+    PRODUCTION formulation (margin_loss_rows_onegather: one fused table
+    gather forward, one dense cotangent with sorted-scatter backward —
+    training/device_data.py::_train_body path 2), which is what bench.py
+    actually runs; the r02 version of this file modeled the older
+    margin_loss_rows step."""
     import jax
     import optax
 
@@ -56,7 +59,7 @@ def make_step(cfg, optimizer):
     def step(params, opt_state, anchors, rels, inter_modes, targets, negs):
         def loss_fn(p):
             import jax.numpy as jnp
-            return gqe.margin_loss_rows(
+            return gqe.margin_loss_rows_onegather(
                 cfg, p, "3i", anchors, rels, inter_modes, targets, negs,
                 jnp.ones(anchors.shape[0], jnp.bool_))
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -197,13 +200,117 @@ def measure(cfg) -> dict:
             "n_nodes": graph.schema.n_nodes}
 
 
+def ablate(cfg) -> dict:
+    """Itemize the scan step (r05, VERDICT r04 task 5): time four nested
+    variants of the same T-step scan — batch SELECTION only, +forward loss,
+    +backward grads, +Adam update — with difference timing (compile both
+    window sizes first; the deltas attribute each phase). All variants keep
+    their outputs live in the carry so XLA cannot DCE the measured work
+    (the dense [N, d] table cotangent is reduced into a scalar accumulator,
+    which adds one read pass — an accepted +~20 µs overestimate of bwd)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from graphqembed_tpu.data.sampling import QuerySampler
+    from graphqembed_tpu.graph.synthetic import synthetic_graph
+    from graphqembed_tpu.models import gqe
+    from graphqembed_tpu.models.params import init_params
+    from graphqembed_tpu.training.device_data import (
+        DeviceTrainData,
+        _select_batches,
+    )
+
+    graph = synthetic_graph(seed=0, scale=40.0, avg_degree=10.0)
+    s = QuerySampler(graph, np.random.default_rng(0), max_negs=30)
+    data = DeviceTrainData(graph.schema, s.sample_many("3i", 1500))
+    pool = data.pools["3i"]
+    params = init_params(cfg, graph.schema, jax.random.key(0))
+    optimizer = optax.adam(cfg.lr)
+    b = cfg.batch_size
+
+    def select(key, n_steps):
+        return _select_batches(
+            cfg, key, n_steps,
+            (pool.anchors, pool.rels, pool.inter_modes, pool.targets,
+             pool.negs, pool.neg_counts, pool.hard, pool.hard_counts),
+            True)[0]
+
+    @functools.partial(jax.jit, static_argnames=("n_steps", "mode"),
+                       donate_argnames=("params", "opt_state"))
+    def run_mode(params, opt_state, key, n_steps, mode):
+        xs = select(key, n_steps)
+
+        def body(carry, batch):
+            params, opt_state, acc = carry
+
+            def loss_fn(p):
+                return gqe.margin_loss_rows_onegather(
+                    cfg, p, "3i", batch["anchors"], batch["rels"],
+                    batch["inter_modes"], batch["targets"], batch["negs"],
+                    jnp.ones(b, jnp.bool_))
+
+            if mode == "sel":
+                acc = acc + jnp.sum(batch["negs"]).astype(jnp.float32)
+            elif mode == "fwd":
+                acc = acc + loss_fn(params)
+            elif mode == "fwdbwd":
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                acc = acc + loss + sum(
+                    jnp.sum(g).astype(jnp.float32)
+                    for g in jax.tree.leaves(grads))
+            else:
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = optimizer.update(grads, opt_state,
+                                                      params)
+                params = optax.apply_updates(params, updates)
+                acc = acc + loss
+            return (params, opt_state, acc), ()
+
+        (params, opt_state, acc), _ = jax.lax.scan(
+            body, (params, opt_state, jnp.float32(0.0)), xs)
+        return params, opt_state, acc
+
+    def timed_mode(mode, n_base=400):
+        state = (jax.tree.map(lambda x: x.copy(), params), None, 0)
+        state = (state[0], optimizer.init(state[0]), jax.random.key(1))
+
+        def go(state, n):
+            p, o, k = state
+            p, o, acc = run_mode(p, o, jax.random.fold_in(k, n), n, mode)
+            jax.block_until_ready(acc)
+            float(acc)
+            return (p, o, k)
+
+        state = go(state, n_base)
+        state = go(state, 11 * n_base)
+        t0 = time.perf_counter(); state = go(state, n_base)
+        t1 = time.perf_counter(); state = go(state, 11 * n_base)
+        t2 = time.perf_counter()
+        return ((t2 - t1) - (t1 - t0)) / (10 * n_base) * 1e6
+
+    out = {}
+    for mode in ("sel", "fwd", "fwdbwd", "full"):
+        out[f"{mode}_us"] = round(timed_mode(mode), 1)
+        print(f"ablate[{mode}]: {out[f'{mode}_us']} us/step", flush=True)
+    out["bwd_delta_us"] = round(out["fwdbwd_us"] - out["fwd_us"], 1)
+    out["adam_delta_us"] = round(out["full_us"] - out["fwdbwd_us"], 1)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--no-measure", action="store_true",
                     help="cost model only (no real chip needed)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 COMPUTE (f32 storage, optax Adam) — the "
+                         "bench.py winning variant")
     args = ap.parse_args()
 
-    graph, cfg, params = build()
+    overrides = {"compute_dtype": "bfloat16"} if args.bf16 else None
+    graph, cfg, params = build(overrides)
     n = graph.schema.n_nodes
     cost = aot_cost(cfg, params)
     # Analytic MINIMUM HBM traffic for the dense-Adam step (the compiler's
@@ -223,7 +330,9 @@ def main():
     out = {"config": {"d": cfg.embed_dim, "batch": cfg.batch_size,
                       "structure": "3i", "projection": cfg.projection,
                       "n_nodes": n, "n_relations": graph.schema.n_relations,
-                      "precision": "fp32(HIGHEST)"},
+                      "precision": ("bf16(DEFAULT)" if args.bf16
+                                    else "fp32(HIGHEST)"),
+                      "loss_path": "margin_loss_rows_onegather (r05)"},
            "compiler_cost_model": cost,
            "hbm_peak_gbs": HBM_PEAK_GBS,
            "bf16_peak_tflops": BF16_PEAK_TFLOPS}
@@ -234,6 +343,7 @@ def main():
 
     if not args.no_measure:
         m = measure(cfg)
+        out["ablation_us"] = ablate(cfg)
         out["measured"] = {k: round(v, 3) for k, v in m.items()}
         t_mxu_us = cost["flops"] / (m["mxu_tflops_at_step_precision"]
                                     * 1e12) * 1e6
@@ -249,9 +359,10 @@ def main():
 
     art = Path(__file__).resolve().parents[1] / "docs" / "artifacts"
     art.mkdir(parents=True, exist_ok=True)
-    (art / "step_roofline.json").write_text(json.dumps(out, indent=2))
+    name = "step_roofline_bf16.json" if args.bf16 else "step_roofline.json"
+    (art / name).write_text(json.dumps(out, indent=2))
     print(json.dumps(out, indent=2))
-    print(f"wrote {art / 'step_roofline.json'}")
+    print(f"wrote {art / name}")
 
 
 if __name__ == "__main__":
