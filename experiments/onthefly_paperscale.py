@@ -29,6 +29,11 @@ def main():
     ap.add_argument("--steps", type=int, default=400_000)
     ap.add_argument("--burn_in", type=int, default=150_000)
     ap.add_argument("--lr", type=float, default=0.03)
+    ap.add_argument("--runs", type=int, default=2,
+                    help="training repetitions for the sustained-throughput "
+                         "row (median reported — multi-run headline "
+                         "discipline, VERDICT r04 task 8); quality comes "
+                         "from run 1 (seed-deterministic)")
     args = ap.parse_args()
 
     import jax
@@ -67,31 +72,57 @@ def main():
     print(f"graph {graph.schema.n_nodes} nodes {graph.num_edges()} edges "
           f"{len(held)} held", flush=True)
 
-    t0 = time.time()
-    val = []
-    for st in STRUCTURES:
-        val += parallel_sample(train_graph, st, args.n_val, n_workers=2,
-                               seed=7, max_negs=50)
-    test = []
-    for st in STRUCTURES:
-        test += native_sample_clean_many(graph, train_graph, st, args.n_test,
-                                         seed=13, max_negs=50) or []
-    t_eval_sample = time.time() - t0
-    print(f"val {len(val)} / clean {len(test)} ({t_eval_sample:.0f}s)",
-          flush=True)
+    # eval-set sampling OVERLAPPED with burn-in (r05, VERDICT r04 task 7):
+    # the drivers take val_queries as a callable joined at the first eval
+    # boundary, so the ~70 s of host sampling runs while burn-in trains
+    from concurrent.futures import ThreadPoolExecutor
+
+    eval_timings = {}
+
+    def _sample_eval_sets():
+        t0s = time.time()
+        val = []
+        for st in STRUCTURES:
+            val += parallel_sample(train_graph, st, args.n_val, n_workers=2,
+                                   seed=7, max_negs=50)
+        test = []
+        for st in STRUCTURES:
+            test += native_sample_clean_many(graph, train_graph, st,
+                                             args.n_test, seed=13,
+                                             max_negs=50) or []
+        eval_timings["eval_sample_thread_s"] = round(time.time() - t0s, 1)
+        print(f"val {len(val)} / clean {len(test)} sampled "
+              f"({eval_timings['eval_sample_thread_s']}s, overlapped)",
+              flush=True)
+        return val, test
+
+    ex_eval = ThreadPoolExecutor(max_workers=1)
+    eval_fut = ex_eval.submit(_sample_eval_sets)
+    val_fn = lambda: eval_fut.result()[0]
 
     # the TRAINER sees only the train graph (on-device adjacency sample)
     dg = DeviceGraph.build(train_graph, sample_size=16, seed=0)
-    params = init_params(cfg, graph.schema, jax.random.key(0))
     schedule = optax.cosine_decay_schedule(cfg.lr, args.steps, alpha=0.05)
-    t0 = time.time()
-    res = run_train_onthefly(
-        cfg, graph.schema, params, dg, val_queries=val,
-        total_steps=args.steps, burn_in_steps=args.burn_in, steps_per=200,
-        optimizer=FusedAdamOpt(schedule),
-        log=lambda step, st, l: (step % 40000 == 0) and print(
-            f"  step {step} [{st}] loss {l:.4f}", flush=True))
-    t_train = time.time() - t0
+    sustained = []
+    res = None
+    for run_i in range(max(1, args.runs)):
+        params = init_params(cfg, graph.schema, jax.random.key(0))
+        t0 = time.time()
+        r_i = run_train_onthefly(
+            cfg, graph.schema, params, dg,
+            val_queries=val_fn if run_i == 0 else None,
+            total_steps=args.steps, burn_in_steps=args.burn_in,
+            steps_per=200, optimizer=FusedAdamOpt(schedule),
+            log=lambda step, st, l: (step % 40000 == 0) and print(
+                f"  step {step} [{st}] loss {l:.4f}", flush=True))
+        sustained.append(round(r_i.queries_per_sec, 1))
+        print(f"run {run_i}: sustained {sustained[-1]:.0f} q/s", flush=True)
+        if run_i == 0:
+            res = r_i
+            t_train = time.time() - t0
+    val, test = eval_fut.result()
+    ex_eval.shutdown()
+    t_eval_sample = eval_timings.get("eval_sample_thread_s", 0.0)
 
     best = res.best_params
     val_auc = eval_auc(cfg, best, graph.schema, val, seed=3)
@@ -105,7 +136,8 @@ def main():
         "graph": {"nodes": graph.schema.n_nodes, "edges": graph.num_edges(),
                   "scale": args.scale, "avg_degree": args.avg_degree},
         "steps": res.steps, "burn_in": res.burn_in_steps,
-        "train_queries_per_sec_per_chip": round(res.queries_per_sec, 1),
+        "train_queries_per_sec_per_chip": float(np.median(sustained)),
+        "sustained_runs": sustained,
         "train_s": round(t_train, 1),
         "val_auc": r(val_auc), "val_auc_hard": r(val_hard),
         "val_apr": r(val_apr), "clean_test_auc": r(test_auc),
@@ -118,18 +150,21 @@ def main():
                 if args.dataset == "bio"
                 else "RESULTS_onthefly_latent_paperscale")
     Path(out_stem + ".json").write_text(json.dumps(report, indent=1))
-    md = f"""# Paper-scale ONTHEFLY flagship (round 4)
+    md = f"""# Paper-scale ONTHEFLY flagship (round 5)
 
 The full bio protocol ({args.steps} steps incl. {args.burn_in} burn-in,
 bf16 flagship config, cosine decay) with **zero precomputed train
 queries**: every batch — all 7 structures, type-range negatives,
 partial-branch HARD negatives — is sampled ON DEVICE inside the compiled
-scan from the train graph's neighbor tables. No pool build, no host query
-preprocessing on the training path.
+scan from the train graph's neighbor tables (r05: the exact flat-CSR
+sampler, anchor dist "{cfg.onthefly_anchor_dist}" —
+RESULTS_onthefly_quality.md). No pool build, no host query preprocessing
+on the training path; val/clean-test sampling overlapped with burn-in
+({t_eval_sample:.0f}s on a host thread).
 
 | metric | onthefly | pool/device flagship (same protocol) |
 |---|---|---|
-| sustained train q/s/chip | **{report['train_queries_per_sec_per_chip']:.0f}** | 1,195,726 |
+| sustained train q/s/chip | **{report['train_queries_per_sec_per_chip']:.0f}** (median of {len(sustained)} runs: {sustained}) | 1,195,726 |
 | val macro AUC | **{val_auc['macro']:.4f}** | 0.8253 |
 | hard-neg macro AUC | **{val_hard['macro']:.4f}** | 0.6833 |
 | val macro APR | **{val_apr['macro']:.4f}** | 0.8231 |

@@ -108,8 +108,24 @@ class GQEConfig:
     # window is swapped. >1 trades strict single-visit streaming for
     # throughput when the host stream is slower than the chip (the usual
     # beyond-RAM case); the grain iterator still advances exactly once per
-    # staged record, so resume stays exactly-once.
-    stream_reuse: float = 4.0
+    # staged record, so resume stays exactly-once. DEFAULT 2.0, set by the
+    # r05 matched-budget quality guard (RESULTS_stream_quality.md): at a
+    # fixed step budget, reuse throttles how much distinct data the run
+    # sees — mid-scale val macro AUC vs the in-RAM device pipeline was
+    # -0.005 at reuse 2 but -0.032 at the old default 4 and -0.081 at 8.
+    # Raise it only when the host stream genuinely starves the chip, and
+    # expect the measured quality cost.
+    stream_reuse: float = 2.0
+    # Host-sync cadence of the stream loop, in burn-in dispatches /
+    # multitask rounds respectively: how much async dispatch depth to allow
+    # before fetching a loss value. The defaults encode the TUNNELED-chip
+    # measurement (grain_pipeline.py: letting many dispatches accumulate
+    # then fetching late stalls pathologically, 60s+ for 12s of work); on a
+    # locally attached chip a deeper horizon may overlap more host window
+    # assembly — these knobs make that measurable instead of hard-coded
+    # (VERDICT r04 weak #5).
+    stream_sync_every_burn: int = 2
+    stream_sync_every_round: int = 1
 
     # --- parallel (SURVEY.md §3 parallelism inventory) ---
     mesh_shape: tuple[int, ...] = (1,)

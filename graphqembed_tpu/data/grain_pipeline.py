@@ -520,7 +520,7 @@ def run_train_stream(cfg, schema, params, data_dir, val_queries=None,
     # stalls pathologically (60s+ for work that streams in 12s when
     # drained every round), so the default horizon is one round / a couple
     # of burn dispatches
-    sync_every = 2
+    sync_every = max(1, cfg.stream_sync_every_burn)
     pending = []   # (phase, round_id, structure, t, device_loss)
     round_i = 0
     t_loop0 = time.perf_counter()
@@ -620,7 +620,7 @@ def run_train_stream(cfg, schema, params, data_dir, val_queries=None,
         # per-round means are comparable, so convergence is meaningful);
         # sync points land at round boundaries only ---
         last_sync_r = 0
-        sync_every_r = 1
+        sync_every_r = max(1, cfg.stream_sync_every_round)
         eval_every_r = max(1, round(cfg.val_every
                                     / (len(structures) * steps_per)))
         while step_i < total_steps:
