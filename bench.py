@@ -146,6 +146,63 @@ def bench_jax(graph, cfg, queries, n_steps=2000, warmup_steps=100,
     return cfg.batch_size / max(slope, 1e-9)
 
 
+def bench_onthefly(graph, cfg, n_steps=2000, warmup_steps=100) -> float:
+    """Pool-free fused sample+train (r05): every batch sampled ON DEVICE by
+    the exact flat-CSR sampler inside the compiled scan — zero precomputed
+    queries, zero HBM pool. Same 2p/3i alternation and Theil-Sen timing as
+    bench_jax; quality guard for the sampler's distribution:
+    RESULTS_onthefly_quality.md."""
+    import jax
+    import jax.numpy as jnp
+
+    from graphqembed_tpu.models.params import init_params
+    from graphqembed_tpu.training.device_data import default_optimizer
+    from graphqembed_tpu.training.device_sampler import (
+        DeviceGraph,
+        make_onthefly_train_step,
+    )
+
+    dg = DeviceGraph.build(graph, sample_size=16, seed=0)
+    params = init_params(cfg, graph.schema, jax.random.key(0))
+    optimizer = default_optimizer(cfg)
+    opt_state = optimizer.init(params)
+    scan = make_onthefly_train_step(cfg, optimizer, dg)
+    key = jax.random.key(0)
+    chunk = 100
+    state = (params, opt_state)
+
+    def run(state, n, k0):
+        params, opt_state = state
+        done, i = 0, 0
+        while done < n:
+            s = ("2p", "3i")[i % 2]
+            params, opt_state, loss = scan(
+                params, opt_state, s, jax.random.fold_in(key, k0 + i),
+                chunk, 1.0, s == "3i" and cfg.hard_neg_alternate)
+            done += chunk
+            i += 1
+        return (params, opt_state)
+
+    def timed(n, k0):
+        nonlocal state
+        t0 = time.perf_counter()
+        state = run(state, n, k0)
+        jax.block_until_ready(jax.tree.leaves(state)[0])
+        float(jnp.sum(jax.tree.leaves(state)[0][:1]))
+        return time.perf_counter() - t0
+
+    timed(warmup_steps, 1000)
+    windows = (n_steps, 6 * n_steps, 11 * n_steps)
+    points = []
+    for rep in range(2):
+        for n in windows:
+            points.append((n, timed(n, 1000 * (len(points) + 2))))
+    slopes = [(tj - ti) / (nj - ni)
+              for i, (ni, ti) in enumerate(points)
+              for nj, tj in points[i + 1:] if nj != ni]
+    return cfg.batch_size / max(float(np.median(slopes)), 1e-9)
+
+
 def bench_oracle(graph, cfg, queries, n_steps=8, warmup=1) -> float:
     """Reference-style eager PyTorch training step (same semantics, same
     batch shapes) with dense Adam — the hot loop of SURVEY.md §4.1."""
@@ -231,12 +288,23 @@ def main(probe: bool = False):
         if probe:
             print(json.dumps({"variant": name,
                               "qps": round(results[name], 1)}), flush=True)
+    # pool-free on-device sampling at the winning precision (r05): same
+    # 2p/3i training workload, zero precomputed queries
+    import dataclasses
+    bf16c = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    results["bf16-onthefly"] = bench_onthefly(graph, bf16c)
+    if probe:
+        print(json.dumps({"variant": "bf16-onthefly",
+                          "qps": round(results["bf16-onthefly"], 1)}),
+              flush=True)
     jax_qps = max(results.values())
     oracle_qps = bench_oracle(graph, cfg, queries)
     print(json.dumps({
         "metric": "train queries/sec/chip, bio-synth 2p+3i, bilinear d=128 "
-                  "B=512 (best of fp32/bf16-storage x dense/sparse Adam; "
-                  "quality deltas pinned in RESULTS_bf16/_storage_bf16.md)",
+                  "B=512 (best of fp32/bf16-storage x dense/sparse Adam, "
+                  "incl. pool-free on-device-sampled onthefly; quality "
+                  "deltas pinned in RESULTS_bf16/_storage_bf16/"
+                  "_onthefly_quality.md)",
         "value": round(jax_qps, 1),
         "unit": "queries/s",
         "vs_baseline": round(jax_qps / oracle_qps, 2),
