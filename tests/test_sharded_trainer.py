@@ -178,12 +178,15 @@ def test_sharded_onthefly_full_protocol(setup):
     dg = DeviceGraph.build(graph, sample_size=8, seed=0)
     mesh = make_mesh(8)
     params = init_params(cfg, graph.schema, jax.random.key(2))
+    # budget: 60 steps was marginal (one eval at ~step 55 of an essentially
+    # untrained model hovered at AUC ~0.47-0.52 depending on the sampler's
+    # draw stream); 300 steps trains clearly above chance
     res = run_train_onthefly(cfg, graph.schema, params, dg, val_queries=val,
-                             total_steps=60, burn_in_steps=20, steps_per=5,
+                             total_steps=300, burn_in_steps=100, steps_per=20,
                              mesh=mesh)
-    assert res.steps >= 60
+    assert res.steps >= 300
     assert res.params["table"].sharding.spec[0] == "data"
-    assert res.best_val_auc > 0.5, res.best_val_auc
+    assert res.best_val_auc > 0.55, res.best_val_auc
 
 
 def test_mesh_rejects_fused_adam(setup):
