@@ -108,9 +108,10 @@ def main():
     for run_i in range(max(1, args.runs)):
         params = init_params(cfg, graph.schema, jax.random.key(0))
         t0 = time.time()
+        # every run uses the SAME full protocol incl. in-loop evals, so
+        # the sustained numbers are comparable (median-of-runs discipline)
         r_i = run_train_onthefly(
-            cfg, graph.schema, params, dg,
-            val_queries=val_fn if run_i == 0 else None,
+            cfg, graph.schema, params, dg, val_queries=val_fn,
             total_steps=args.steps, burn_in_steps=args.burn_in,
             steps_per=200, optimizer=FusedAdamOpt(schedule),
             log=lambda step, st, l: (step % 40000 == 0) and print(

@@ -109,7 +109,7 @@ def main():
     import dataclasses as _dc
 
     dg = DeviceGraph.build(graph, sample_size=16, seed=0)
-    for dist in ("node", "edge"):
+    for dist in ("rel", "node", "edge"):
         cfg_d = _dc.replace(cfg, onthefly_anchor_dist=dist)
         params = init_params(cfg_d, graph.schema, jax.random.key(0))
         t0 = time.time()
@@ -157,9 +157,11 @@ offline exact-negative eval queries). Pool = exact offline negatives +
 stored hard negatives; onthefly = everything sampled on device by the
 r05 flat-CSR sampler (type-range negatives, PARTIAL-BRANCH hard
 negatives, hard_neg_frac alternation in-scan), A/B over the anchor
-distribution (GQEConfig.onthefly_anchor_dist): "node" = uniform node →
-uniform out-edge (oversamples tail nodes, ≈ the r04 schedule); "edge" =
-exactly edge-uniform (the pool protocol).
+distribution (GQEConfig.onthefly_anchor_dist): "rel" =
+relation-uniform-first everywhere (the OFFLINE sampler's protocol, which
+the eval sets are drawn from); "node" = uniform node → uniform out-edge
+(oversamples tail nodes); "edge" = exactly edge-uniform (the pool/1p
+protocol).
 
 | pipeline | val macro AUC | hard-neg macro AUC | val macro APR | sustained q/s |
 |---|---|---|---|---|

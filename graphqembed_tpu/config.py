@@ -89,8 +89,14 @@ class GQEConfig:
     #           positive gradients; mid-scale guard r05: val +0.0246, hard
     #           +0.0344 over "edge", and +0.0179/+0.0273 over the exact-
     #           negative pool pipeline — RESULTS_onthefly_quality.md);
-    #   "edge": exactly edge-uniform (the pool/1p protocol distribution).
-    # Both are rejection-free one-randint picks on the flat CSR.
+    #   "edge": exactly edge-uniform (the pool/1p protocol distribution);
+    #   "rel":  relation-uniform FIRST, for the anchor pick AND hops AND
+    #           in-branches — the OFFLINE sampler's protocol
+    #           (native/sampler.cpp picks relations uniformly before
+    #           nodes), which the eval sets are drawn from;
+    #           edge-frequency-weighted hops starve rare-relation chains
+    #           (r05 paper-scale: 2p −0.10 / 3p −0.14 val AUC vs r04).
+    # All are rejection-free one/two-randint picks on the flat CSR.
     onthefly_anchor_dist: str = "node"
     seed: int = 0
 
@@ -164,7 +170,7 @@ class GQEConfig:
         assert self.compute_dtype in ("float32", "bfloat16")
         assert self.storage_dtype in ("float32", "bfloat16")
         assert 0.0 <= self.hard_neg_frac <= 1.0, self.hard_neg_frac
-        assert self.onthefly_anchor_dist in ("node", "edge"), \
+        assert self.onthefly_anchor_dist in ("node", "edge", "rel"), \
             self.onthefly_anchor_dist
 
     def to_json(self) -> str:

@@ -36,7 +36,8 @@ from graphqembed_tpu.models.encoders import NeighborTables
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["neighbors", "live_rels", "from_lo", "from_hi", "to_lo",
-                 "to_hi", "rel_rev", "to_mode_id", "edges", "node_ptr"],
+                 "to_hi", "rel_rev", "to_mode_id", "edges", "node_ptr",
+                 "rel_order", "rel_ptr", "node_rel_cnt"],
     meta_fields=[],
 )
 @dataclasses.dataclass
@@ -71,6 +72,17 @@ class DeviceGraph:
     # [start, start+deg) of `edges`.
     edges: jnp.ndarray      # int32 [E, 4]
     node_ptr: jnp.ndarray   # int32 [N, 2]
+    # Relation-uniform support (the OFFLINE protocol's distribution —
+    # native/sampler.cpp picks relations uniformly first for chains and
+    # in-branches; edge-frequency-weighted hops measurably starve
+    # rare-relation chains, r05 paper-scale: 2p −0.10 / 3p −0.14 val AUC):
+    # rel_order[rel_ptr[r]:rel_ptr[r+1]] = edge ids of relation r;
+    # node_rel_cnt[n, r] = n's out-edge count under r (a node's row in
+    # `edges` is relation-sorted, so r's block starts at
+    # node_ptr[n,0] + sum(node_rel_cnt[n, :r])).
+    rel_order: jnp.ndarray     # int32 [E]
+    rel_ptr: jnp.ndarray       # int32 [R+1]
+    node_rel_cnt: jnp.ndarray  # int32 [N, R]
 
     @classmethod
     def build(cls, graph: Graph, sample_size: int = 16,
@@ -91,7 +103,10 @@ class DeviceGraph:
                         for i in range(schema.n_relations)], np.int32)
         tmid = np.array([schema.mode_id(r[2]) for r in schema.relations],
                         np.int32)
-        e_src, e_rel, e_dst, gptr = cls._flat_edges(graph)
+        e_src, e_rel, e_dst, gptr, nrc = cls._flat_edges(graph)
+        order = np.argsort(e_rel, kind="stable").astype(np.int32)
+        rp = np.zeros(schema.n_relations + 1, np.int64)
+        np.cumsum(np.bincount(e_rel, minlength=schema.n_relations), out=rp[1:])
         return cls(
             neighbors=jnp.asarray(tables.neighbors),
             live_rels=jnp.asarray(np.asarray(live, np.int32)),
@@ -102,6 +117,9 @@ class DeviceGraph:
                 [e_rel, e_src, e_dst, np.zeros_like(e_rel)], axis=1)),
             node_ptr=jnp.asarray(np.stack(
                 [gptr[:-1], gptr[1:] - gptr[:-1]], axis=1)),
+            rel_order=jnp.asarray(order),
+            rel_ptr=jnp.asarray(rp.astype(np.int32)),
+            node_rel_cnt=jnp.asarray(nrc),
         )
 
     @staticmethod
@@ -125,6 +143,7 @@ class DeviceGraph:
         e_src = np.empty(e_total, np.int32)
         e_rel = np.empty(e_total, np.int32)
         e_dst = np.empty(e_total, np.int32)
+        nrc = np.zeros((n, schema.n_relations), np.int32)
         fill = gptr[:-1].copy()
         for ri, rlo, indptr_r, indices_r, cnt in rel_rows:
             if indices_r.size == 0:
@@ -136,7 +155,8 @@ class DeviceGraph:
             e_rel[pos] = ri
             e_dst[pos] = indices_r
             fill[rlo:rlo + len(cnt)] += cnt
-        return e_src, e_rel, e_dst, gptr.astype(np.int32)
+            nrc[rlo:rlo + len(cnt), ri] = cnt
+        return e_src, e_rel, e_dst, gptr.astype(np.int32), nrc
 
 
 def _pick_edges(dg: DeviceGraph, key: jax.Array, b: int,
@@ -153,6 +173,20 @@ def _pick_edges(dg: DeviceGraph, key: jax.Array, b: int,
     gradients); rows landing on a zero-out-degree node are masked.
     Either way this replaces the r04 8-try relation→node→slot chain
     (docs/DESIGN.md §13)."""
+    if dist == "rel":
+        # the OFFLINE protocol's first pick (native/sampler.cpp::walk):
+        # uniform live RELATION, then an edge of it (edge-uniform within
+        # the relation; the C++ sampler is node-uniform within the
+        # relation — a second-order difference)
+        k1, k2 = jax.random.split(key)
+        r = dg.live_rels[
+            jax.random.randint(k1, (b,), 0, dg.live_rels.shape[0])]
+        lo = dg.rel_ptr[r]
+        n_r = dg.rel_ptr[r + 1] - lo
+        u = jax.random.randint(k2, (b,), 0, 1 << 30)
+        e = dg.rel_order[lo + u % jnp.maximum(n_r, 1)]
+        rows = dg.edges[e]
+        return rows[:, 0], rows[:, 1], rows[:, 2], n_r > 0
     if dist == "node":
         k1, k2 = jax.random.split(key)
         node = jax.random.randint(k1, (b,), 0, dg.node_ptr.shape[0])
@@ -239,6 +273,64 @@ def _neg_resample(dg: DeviceGraph, key: jax.Array, rel: jnp.ndarray,
     return jnp.take_along_axis(cand, first[None], axis=0)[0]
 
 
+def _k_distinct_branches_rel(dg: DeviceGraph, key: jax.Array,
+                             node: jnp.ndarray, k: int):
+    """k distinct out-edges of `node`, RELATION-UNIFORM first (the offline
+    protocol: uniform among the node's PRESENT out-relations, then uniform
+    within that relation's block of the node's relation-sorted row).
+    Distinctness via cyclic shift within the block on collision (k ≤ 3;
+    rows where a collision survives the shifts are masked). Returns
+    (eidx [k, b], ok [b])."""
+    start, deg = _out_deg(dg, node)
+    cnt = dg.node_rel_cnt[node]                      # [b, R] one row gather
+    csum = jnp.cumsum(cnt, axis=-1)
+    ok = deg >= k
+    take = lambda x, i: jnp.take_along_axis(x, i[..., None], -1)[..., 0]
+    picks = []
+    for i in range(k):
+        k1, k2 = jax.random.split(jax.random.fold_in(key, i))
+        ridx, ok_i = _pick_valid(k1, cnt > 0)
+        c = take(cnt, ridx)
+        off0 = take(csum, ridx) - c
+        u = jax.random.randint(k2, node.shape, 0, 1 << 30)
+        off = u % jnp.maximum(c, 1)
+        for _ in range(len(picks)):
+            e = start + off0 + off
+            coll = jnp.zeros_like(ok)
+            for pe in picks:
+                coll = coll | (e == pe)
+            off = jnp.where(coll, (off + 1) % jnp.maximum(c, 1), off)
+        e = start + off0 + off
+        for pe in picks:
+            ok = ok & (e != pe)
+        ok = ok & ok_i
+        picks.append(e)
+    return jnp.stack(picks), ok
+
+
+def _rel_out_edge_excluding_pair(dg: DeviceGraph, key: jax.Array,
+                                 node: jnp.ndarray, ex_rel: jnp.ndarray,
+                                 ex_dst: jnp.ndarray):
+    """Relation-uniform out-edge of `node` excluding the (ex_rel, ex_dst)
+    edge (cyclic-successor shift within the block on a hit, as in
+    _out_edge_excluding_pair). Returns (eidx, ok)."""
+    start, deg = _out_deg(dg, node)
+    cnt = dg.node_rel_cnt[node]
+    csum = jnp.cumsum(cnt, axis=-1)
+    take = lambda x, i: jnp.take_along_axis(x, i[..., None], -1)[..., 0]
+    k1, k2 = jax.random.split(key)
+    ridx, _ = _pick_valid(k1, cnt > 0)
+    c = take(cnt, ridx)
+    off0 = take(csum, ridx) - c
+    u = jax.random.randint(k2, node.shape, 0, 1 << 30)
+    off = u % jnp.maximum(c, 1)
+    e = start + off0 + off
+    row = dg.edges[e]
+    hit = (row[..., 0] == ex_rel) & (row[..., 2] == ex_dst)
+    off = jnp.where(hit, (off + 1) % jnp.maximum(c, 1), off)
+    return start + off0 + off, deg >= 2
+
+
 def sample_path_batch(dg: DeviceGraph, key: jax.Array, b: int,
                       n_hops: int = 1, dist: str = "edge"):
     """On-device 1p/2p/3p batch: anchors [b, 1], rels [b, n_hops],
@@ -252,12 +344,20 @@ def sample_path_batch(dg: DeviceGraph, key: jax.Array, b: int,
     cur = dst
     for h in range(1, n_hops):
         kh = jax.random.fold_in(k_hops, h)
-        start, deg = _out_deg(dg, cur)
-        u = jax.random.randint(kh, (b,), 0, 1 << 30)
-        rows = dg.edges[start + u % jnp.maximum(deg, 1)]
-        ok = ok & (deg > 0)     # guard; always true under reversal closure
+        if dist == "rel":
+            # offline-protocol hop: uniform among cur's present relations,
+            # then uniform within that relation's block
+            e, ok_h = _k_distinct_branches_rel(dg, kh, cur, 1)
+            rows = dg.edges[e[0]]
+            deg_ok = ok_h
+        else:
+            start, deg = _out_deg(dg, cur)
+            u = jax.random.randint(kh, (b,), 0, 1 << 30)
+            rows = dg.edges[start + u % jnp.maximum(deg, 1)]
+            deg_ok = deg > 0
+        ok = ok & deg_ok        # guard; always true under reversal closure
         rels.append(rows[:, 0])
-        cur = jnp.where(deg > 0, rows[:, 2], cur)
+        cur = jnp.where(deg_ok, rows[:, 2], cur)
     target = cur
     neg = _neg_resample(dg, k_neg, rels[-1], target)
     return (src[:, None], jnp.stack(rels, axis=1), target, neg, ok)
@@ -310,7 +410,9 @@ def sample_inter_batch(dg: DeviceGraph, key: jax.Array, b: int,
     where one was found."""
     k_t, k_br, k_neg, k_hard = jax.random.split(key, 4)
     _, _, tgt, ok_t = _pick_edges(dg, k_t, b, dist)
-    eidx, ok = _k_distinct_out_edges(dg, k_br, tgt, k_branches)  # [k, b]
+    branches = (_k_distinct_branches_rel if dist == "rel"
+                else _k_distinct_out_edges)
+    eidx, ok = branches(dg, k_br, tgt, k_branches)               # [k, b]
     ok = ok & ok_t
     rows = dg.edges[eidx]                         # one [k, b, 4] gather
     anchors = rows[..., 2]                        # [k, b]
@@ -333,7 +435,9 @@ def sample_ip_batch(dg: DeviceGraph, key: jax.Array, b: int,
     rels [b, 3] = (r1, r2, r3), inter_modes [b] = v's mode."""
     k_edge, k_br, k_neg, k_hard, k_hp = jax.random.split(key, 5)
     r3, v, tgt, ok_t = _pick_edges(dg, k_edge, b, dist)
-    eidx, ok = _k_distinct_out_edges(dg, k_br, v, 2)
+    branches = (_k_distinct_branches_rel if dist == "rel"
+                else _k_distinct_out_edges)
+    eidx, ok = branches(dg, k_br, v, 2)
     ok = ok & ok_t
     rows = dg.edges[eidx]                         # one [2, b, 4] gather
     a1, a2 = rows[0, :, 2], rows[1, :, 2]
@@ -369,11 +473,15 @@ def sample_pi_batch(dg: DeviceGraph, key: jax.Array, b: int,
     inter_modes [b] = t's mode."""
     k_edge, k_b1, k_b2, k_neg, k_hard = jax.random.split(key, 5)
     r2, v, tgt, ok_t = _pick_edges(dg, k_edge, b, dist)
-    e1, _ = _k_distinct_out_edges(dg, k_b1, v, 1)
+    branches1 = (_k_distinct_branches_rel if dist == "rel"
+                 else _k_distinct_out_edges)
+    e1, _ = branches1(dg, k_b1, v, 1)
     row1 = dg.edges[e1[0]]
     r1 = dg.rel_rev[row1[:, 0]]
     a1 = row1[:, 2]
-    e2, ok = _out_edge_excluding_pair(dg, k_b2, tgt, dg.rel_rev[r2], v)
+    excl = (_rel_out_edge_excluding_pair if dist == "rel"
+            else _out_edge_excluding_pair)
+    e2, ok = excl(dg, k_b2, tgt, dg.rel_rev[r2], v)
     ok = ok & ok_t
     row2 = dg.edges[e2]
     r3 = dg.rel_rev[row2[:, 0]]

@@ -244,3 +244,75 @@ def test_run_train_onthefly_quality(dg):
     assert set(res.losses.keys()) >= {"1p", "2p", "3p", "2i", "3i", "ip", "pi"}
     assert all(len(v) > 0 for v in res.losses.values())
     assert res.best_val_auc > 0.6, res.best_val_auc
+
+
+def test_rel_uniform_dist_valid(dg):
+    """dist="rel" (the offline protocol's relation-uniform-first schedule,
+    r05): every unmasked row of every structure is still a REAL query —
+    edges exist, chains are walkable, branches are distinct real in-edges —
+    and the hop relations are relation-diverse (the property that
+    edge-weighted hops lose: with 12 relations, a 128-row 2p batch under
+    "rel" must touch most relation types at hop 2)."""
+    from graphqembed_tpu.training.device_sampler import (
+        sample_inter_batch,
+        sample_ip_batch,
+        sample_pi_batch,
+    )
+
+    graph, d = dg
+    schema = graph.schema
+    # paths
+    anchors, rels, targets, negs, ok = sample_path_batch(
+        d, jax.random.key(21), 128, n_hops=2, dist="rel")
+    anchors, rels, targets, ok = map(np.asarray,
+                                     (anchors, rels, targets, ok))
+    assert ok.mean() > 0.9
+    checked = 0
+    for i in np.nonzero(ok)[0]:
+        if checked >= 15:
+            break
+        r1 = schema.rel_of(int(rels[i, 0]))
+        r2 = schema.rel_of(int(rels[i, 1]))
+        mids = set(graph.neighbors(int(anchors[i, 0]), r1).tolist())
+        assert any(int(targets[i]) in set(graph.neighbors(v, r2).tolist())
+                   for v in mids)
+        checked += 1
+    assert checked >= 10
+    # relation diversity at hop 2 (the distribution property "rel" buys)
+    hop2 = set(int(r) for r in rels[ok, 1])
+    assert len(hop2) >= schema.n_relations // 2, hop2
+    # intersections + ip + pi: reuse the structural checks at dist="rel"
+    for fn, k in ((sample_inter_batch, 2), (sample_inter_batch, 3)):
+        a, r, m, t, n_, h, hok, okk = map(np.asarray, fn(
+            d, jax.random.key(22 + k), 128, k_branches=k, dist="rel"))
+        assert okk.mean() > 0.5
+        for i in np.nonzero(okk)[0][:10]:
+            seen = set()
+            for bi in range(k):
+                rel = schema.rel_of(int(r[i, bi]))
+                assert graph.has_edge(int(a[i, bi]), rel, int(t[i]))
+                seen.add((int(r[i, bi]), int(a[i, bi])))
+            assert len(seen) == k
+    a, r, m, t, n_, h, hok, okk = map(np.asarray, sample_ip_batch(
+        d, jax.random.key(31), 128, dist="rel"))
+    assert okk.mean() > 0.4
+    for i in np.nonzero(okk)[0][:10]:
+        r1 = schema.rel_of(int(r[i, 0]))
+        r2 = schema.rel_of(int(r[i, 1]))
+        r3 = schema.rel_of(int(r[i, 2]))
+        v1 = set(graph.neighbors(int(a[i, 0]), r1).tolist())
+        v2 = set(graph.neighbors(int(a[i, 1]), r2).tolist())
+        assert any(int(t[i]) in set(graph.neighbors(v, r3).tolist())
+                   for v in v1 & v2)
+    a, r, m, t, n_, h, hok, okk = map(np.asarray, sample_pi_batch(
+        d, jax.random.key(32), 128, dist="rel"))
+    assert okk.mean() > 0.4
+    for i in np.nonzero(okk)[0][:10]:
+        r1 = schema.rel_of(int(r[i, 0]))
+        r2 = schema.rel_of(int(r[i, 1]))
+        r3 = schema.rel_of(int(r[i, 2]))
+        mids = set(graph.neighbors(int(a[i, 0]), r1).tolist())
+        assert any(int(t[i]) in set(graph.neighbors(v, r2).tolist())
+                   for v in mids)
+        assert graph.has_edge(int(a[i, 1]), r3, int(t[i]))
+        assert (int(r[i, 2]), int(a[i, 1])) != (int(r[i, 1]), int(a[i, 0]))
