@@ -29,6 +29,11 @@ def main():
     ap.add_argument("--steps", type=int, default=400_000)
     ap.add_argument("--burn_in", type=int, default=150_000)
     ap.add_argument("--lr", type=float, default=0.03)
+    ap.add_argument("--dist", type=str, default=None,
+                    choices=["rel", "node", "edge"],
+                    help="onthefly_anchor_dist override (default: config "
+                         "default; RESULTS_onthefly_quality.md is the "
+                         "mid-scale A/B, this run is the paper-scale one)")
     ap.add_argument("--runs", type=int, default=2,
                     help="training repetitions for the sustained-throughput "
                          "row (median reported — multi-run headline "
@@ -60,8 +65,9 @@ def main():
     )
 
     t_all = time.time()
+    dist_kw = {"onthefly_anchor_dist": args.dist} if args.dist else {}
     cfg = GQEConfig(embed_dim=128, projection="bilinear", intersection="min",
-                    batch_size=512, lr=args.lr, seed=0,
+                    batch_size=512, lr=args.lr, seed=0, **dist_kw,
                     val_every=max(1, args.steps // 10), tol=0.0,
                     conv_window=10**9,
                     compute_dtype="bfloat16", storage_dtype="bfloat16")

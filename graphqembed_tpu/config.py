@@ -83,21 +83,21 @@ class GQEConfig:
     hard_neg_frac: float = 0.5
     # Anchor/target distribution of the ON-DEVICE (onthefly) sampler's edge
     # picks (training/device_sampler.py::_pick_edges):
+    #   "rel":  (DEFAULT) relation-uniform FIRST, then node-uniform within
+    #           the relation, for the anchor pick AND hops AND in-branches
+    #           — the OFFLINE sampler's protocol (native/sampler.cpp picks
+    #           relations uniformly before nodes), which the eval sets are
+    #           drawn from. Paper-scale flagship (r05): val 0.8801 / hard
+    #           0.7421 / clean 0.757 — above the r04 sampler on every axis
+    #           (RESULTS_onthefly_paperscale.md). Edge-frequency-weighted
+    #           hops instead starve rare-relation chains (2p −0.10 /
+    #           3p −0.14 val).
     #   "node": uniform node (with >=1 out-edge) then uniform out-edge —
-    #           oversamples low-degree nodes' edges relative to the pool
-    #           protocol, which measurably HELPS quality (tail nodes get
-    #           positive gradients; mid-scale guard r05: val +0.0246, hard
-    #           +0.0344 over "edge", and +0.0179/+0.0273 over the exact-
-    #           negative pool pipeline — RESULTS_onthefly_quality.md);
-    #   "edge": exactly edge-uniform (the pool/1p protocol distribution);
-    #   "rel":  relation-uniform FIRST, for the anchor pick AND hops AND
-    #           in-branches — the OFFLINE sampler's protocol
-    #           (native/sampler.cpp picks relations uniformly before
-    #           nodes), which the eval sets are drawn from;
-    #           edge-frequency-weighted hops starve rare-relation chains
-    #           (r05 paper-scale: 2p −0.10 / 3p −0.14 val AUC vs r04).
+    #           oversamples tail nodes; best val at MID-scale
+    #           (RESULTS_onthefly_quality.md);
+    #   "edge": exactly edge-uniform (the pool/1p protocol distribution).
     # All are rejection-free one/two-randint picks on the flat CSR.
-    onthefly_anchor_dist: str = "node"
+    onthefly_anchor_dist: str = "rel"
     seed: int = 0
 
     # --- eval (SURVEY.md §2.6) ---

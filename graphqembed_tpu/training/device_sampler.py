@@ -174,19 +174,28 @@ def _pick_edges(dg: DeviceGraph, key: jax.Array, b: int,
     Either way this replaces the r04 8-try relation→node→slot chain
     (docs/DESIGN.md §13)."""
     if dist == "rel":
-        # the OFFLINE protocol's first pick (native/sampler.cpp::walk):
-        # uniform live RELATION, then an edge of it (edge-uniform within
-        # the relation; the C++ sampler is node-uniform within the
-        # relation — a second-order difference)
-        k1, k2 = jax.random.split(key)
+        # the OFFLINE protocol's first pick (native/sampler.cpp::walk +
+        # pick_edge): uniform live RELATION, then a NODE uniform in the
+        # relation's from-range (two candidates, first with edges wins —
+        # the C++ sampler retries until success; rows where both miss are
+        # masked), then a neighbor uniform within (node, rel)
+        k1, k2, k3 = jax.random.split(key, 3)
         r = dg.live_rels[
             jax.random.randint(k1, (b,), 0, dg.live_rels.shape[0])]
-        lo = dg.rel_ptr[r]
-        n_r = dg.rel_ptr[r + 1] - lo
-        u = jax.random.randint(k2, (b,), 0, 1 << 30)
-        e = dg.rel_order[lo + u % jnp.maximum(n_r, 1)]
-        rows = dg.edges[e]
-        return rows[:, 0], rows[:, 1], rows[:, 2], n_r > 0
+        n_from = dg.from_hi[r] - dg.from_lo[r]
+        u2 = jax.random.randint(k2, (2, b), 0, 1 << 30)
+        cand = dg.from_lo[r][None] + u2 % jnp.maximum(n_from, 1)[None]
+        cnt2 = dg.node_rel_cnt[cand, r[None]]            # [2, b]
+        sel0 = cnt2[0] > 0
+        node = jnp.where(sel0, cand[0], cand[1])
+        crow = dg.node_rel_cnt[node]                     # [b, R]
+        take = lambda x, i: jnp.take_along_axis(x, i[:, None], 1)[:, 0]
+        c = take(crow, r)
+        off0 = take(jnp.cumsum(crow, axis=1), r) - c
+        start = dg.node_ptr[node][:, 0]
+        u = jax.random.randint(k3, (b,), 0, 1 << 30)
+        rows = dg.edges[start + off0 + u % jnp.maximum(c, 1)]
+        return rows[:, 0], rows[:, 1], rows[:, 2], c > 0
     if dist == "node":
         k1, k2 = jax.random.split(key)
         node = jax.random.randint(k1, (b,), 0, dg.node_ptr.shape[0])
