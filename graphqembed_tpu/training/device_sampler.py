@@ -729,8 +729,12 @@ def run_train_onthefly(cfg, schema, params, dg: DeviceGraph,
             burn_series = list(meta.get("burn_tail", []))
             multi_series = list(meta.get("multi_tail", []))
 
+    t_train = 0.0
+    t_eval = 0.0
+
     def dispatch(structure, n):
-        nonlocal params, opt_state, done, dispatch_i
+        nonlocal params, opt_state, done, dispatch_i, t_train
+        td = time.time()
         params, opt_state, mloss = step_fn(
             params, opt_state, structure,
             jax.random.fold_in(key, dispatch_i), n,
@@ -738,7 +742,8 @@ def run_train_onthefly(cfg, schema, params, dg: DeviceGraph,
             structure in INTERSECT_STRUCTURES and cfg.hard_neg_alternate)
         dispatch_i += 1
         done += n
-        loss = float(mloss)
+        loss = float(mloss)   # device sync: the dispatch is fully drained
+        t_train += time.time() - td
         losses[structure].append(loss)
         if log:
             log(done, structure, loss)
@@ -787,10 +792,12 @@ def run_train_onthefly(cfg, schema, params, dg: DeviceGraph,
                                                 total_steps - done)))
         multi_series.append(float(np.mean(round_losses)))
         if val_queries and done >= next_eval:
+            te = time.time()
             from graphqembed_tpu.training.loop import resolve_queries
             val_queries = resolve_queries(val_queries)
             aucs = eval_auc(cfg, params, schema, val_queries, seed=cfg.seed,
                             neighbor_tables=neighbor_tables)
+            t_eval += time.time() - te
             macro = aucs.get("macro", 0.0)
             val_history.append((done, macro))
             if macro > best_macro:
@@ -802,10 +809,12 @@ def run_train_onthefly(cfg, schema, params, dg: DeviceGraph,
             break
     maybe_ckpt(force=True)  # final state (resume-to-completion lands here)
     if val_queries and not val_history:
+        te = time.time()
         from graphqembed_tpu.training.loop import resolve_queries
         val_queries = resolve_queries(val_queries)
         aucs = eval_auc(cfg, params, schema, val_queries, seed=cfg.seed,
                         neighbor_tables=neighbor_tables)
+        t_eval += time.time() - te
         best_macro = aucs.get("macro", 0.0)
         val_history.append((done, best_macro))
         best_params = params
@@ -818,5 +827,10 @@ def run_train_onthefly(cfg, schema, params, dg: DeviceGraph,
         burn_in_steps=actual_burn_in,
         losses=losses,
         val_history=val_history,
-        queries_per_sec=done * cfg.batch_size / max(dt, 1e-9),
+        # q/s over TRAIN dispatch time (the device-mega driver's
+        # accounting — evals/ckpt are itemized in timings, not folded into
+        # the sustained number)
+        queries_per_sec=done * cfg.batch_size / max(t_train, 1e-9),
+        timings={"train_s": t_train, "eval_s": t_eval,
+                 "wall_s": dt},
     )
