@@ -171,9 +171,10 @@ protocol).
 Per-structure hard AUC: {json.dumps({k: v['val_auc_hard'] for k, v in out.items()})}
 
 r04 comparison (old try-based sampler, same recipe): onthefly val
-0.8505 / hard 0.7627 / APR 0.8634 — the node-uniform-ish schedule, not
-the sampler's approximations, carried that quality edge; the r05 "node"
-mode keeps it with the exact rejection-free sampler.
+0.8505 / hard 0.7627 / APR 0.8634 — the DISTRIBUTION, not the sampler's
+approximations, carried that quality edge; the r05 "rel" mode (the
+offline protocol's relation-uniform-first schedule, exact and
+rejection-free) now beats it and every other arm on every axis.
 """
     Path("RESULTS_onthefly_quality.md").write_text(md)
     print("written RESULTS_onthefly_quality.md", flush=True)
