@@ -337,7 +337,14 @@ def _rel_out_edge_excluding_pair(dg: DeviceGraph, key: jax.Array,
     row = dg.edges[e]
     hit = (row[..., 0] == ex_rel) & (row[..., 2] == ex_dst)
     off = jnp.where(hit, (off + 1) % jnp.maximum(c, 1), off)
-    return start + off0 + off, deg >= 2
+    e = start + off0 + off
+    # the cyclic shift stays inside the RELATION block: when the excluded
+    # edge's block has c == 1 and was chosen, the shift lands back on the
+    # excluded edge — mask those rows instead of emitting a degenerate
+    # duplicate branch
+    row2 = dg.edges[e]
+    still = (row2[..., 0] == ex_rel) & (row2[..., 2] == ex_dst)
+    return e, (deg >= 2) & ~still
 
 
 def sample_path_batch(dg: DeviceGraph, key: jax.Array, b: int,
