@@ -21,8 +21,9 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset", type=str, default="bio",
-                    choices=["bio", "bio-latent"])
-    ap.add_argument("--scale", type=float, default=114.0)
+                    choices=["bio", "bio-latent", "reddit"])
+    ap.add_argument("--scale", type=float, default=None,
+                    help="default 114 (bio families) / 60 (reddit)")
     ap.add_argument("--avg_degree", type=float, default=40.0)
     ap.add_argument("--n_val", type=int, default=400)
     ap.add_argument("--n_test", type=int, default=300)
@@ -52,6 +53,7 @@ def main():
     from graphqembed_tpu.data.sampling import parallel_sample
     from graphqembed_tpu.graph.synthetic import (
         holdout_edges,
+        reddit_graph,
         synthetic_graph,
         synthetic_graph_latent,
     )
@@ -71,8 +73,10 @@ def main():
                     val_every=max(1, args.steps // 10), tol=0.0,
                     conv_window=10**9,
                     compute_dtype="bfloat16", storage_dtype="bfloat16")
-    gen = (synthetic_graph_latent if args.dataset == "bio-latent"
-           else synthetic_graph)
+    if args.scale is None:
+        args.scale = 60.0 if args.dataset == "reddit" else 114.0
+    gen = {"bio-latent": synthetic_graph_latent, "bio": synthetic_graph,
+           "reddit": reddit_graph}[args.dataset]
     graph = gen(seed=0, scale=args.scale, avg_degree=args.avg_degree)
     train_graph, held = holdout_edges(graph, frac=0.1, seed=1)
     print(f"graph {graph.schema.n_nodes} nodes {graph.num_edges()} edges "
@@ -153,9 +157,9 @@ def main():
         "precomputed_train_queries": 0,
     }
     print(json.dumps(report, indent=2), flush=True)
-    out_stem = ("RESULTS_onthefly_paperscale"
-                if args.dataset == "bio"
-                else "RESULTS_onthefly_latent_paperscale")
+    out_stem = {"bio": "RESULTS_onthefly_paperscale",
+                "bio-latent": "RESULTS_onthefly_latent_paperscale",
+                "reddit": "RESULTS_onthefly_reddit_paperscale"}[args.dataset]
     Path(out_stem + ".json").write_text(json.dumps(report, indent=1))
     md = f"""# Paper-scale ONTHEFLY flagship (round 5)
 
