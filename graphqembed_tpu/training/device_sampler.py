@@ -37,7 +37,7 @@ from graphqembed_tpu.models.encoders import NeighborTables
     jax.tree_util.register_dataclass,
     data_fields=["neighbors", "live_rels", "from_lo", "from_hi", "to_lo",
                  "to_hi", "rel_rev", "to_mode_id", "edges", "node_ptr",
-                 "rel_order", "rel_ptr", "node_rel_cnt"],
+                 "node_rel_cnt"],
     meta_fields=[],
 )
 @dataclasses.dataclass
@@ -76,12 +76,9 @@ class DeviceGraph:
     # native/sampler.cpp picks relations uniformly first for chains and
     # in-branches; edge-frequency-weighted hops measurably starve
     # rare-relation chains, r05 paper-scale: 2p −0.10 / 3p −0.14 val AUC):
-    # rel_order[rel_ptr[r]:rel_ptr[r+1]] = edge ids of relation r;
     # node_rel_cnt[n, r] = n's out-edge count under r (a node's row in
     # `edges` is relation-sorted, so r's block starts at
     # node_ptr[n,0] + sum(node_rel_cnt[n, :r])).
-    rel_order: jnp.ndarray     # int32 [E]
-    rel_ptr: jnp.ndarray       # int32 [R+1]
     node_rel_cnt: jnp.ndarray  # int32 [N, R]
 
     @classmethod
@@ -104,9 +101,6 @@ class DeviceGraph:
         tmid = np.array([schema.mode_id(r[2]) for r in schema.relations],
                         np.int32)
         e_src, e_rel, e_dst, gptr, nrc = cls._flat_edges(graph)
-        order = np.argsort(e_rel, kind="stable").astype(np.int32)
-        rp = np.zeros(schema.n_relations + 1, np.int64)
-        np.cumsum(np.bincount(e_rel, minlength=schema.n_relations), out=rp[1:])
         return cls(
             neighbors=jnp.asarray(tables.neighbors),
             live_rels=jnp.asarray(np.asarray(live, np.int32)),
@@ -117,8 +111,6 @@ class DeviceGraph:
                 [e_rel, e_src, e_dst, np.zeros_like(e_rel)], axis=1)),
             node_ptr=jnp.asarray(np.stack(
                 [gptr[:-1], gptr[1:] - gptr[:-1]], axis=1)),
-            rel_order=jnp.asarray(order),
-            rel_ptr=jnp.asarray(rp.astype(np.int32)),
             node_rel_cnt=jnp.asarray(nrc),
         )
 
@@ -600,7 +592,7 @@ def make_onthefly_train_step(cfg, optimizer, dg: DeviceGraph,
         # fold_in(key, t).
         ts = jnp.arange(n_steps)
         keys = jax.vmap(lambda t: jax.random.fold_in(key, t))(ts)
-        dist = getattr(cfg, "onthefly_anchor_dist", "node")
+        dist = cfg.onthefly_anchor_dist
         batches = jax.vmap(
             lambda k: sample_structure_batch(dg, k, b, structure,
                                              dist=dist))(keys)
@@ -837,7 +829,8 @@ def run_train_onthefly(cfg, schema, params, dg: DeviceGraph,
         # q/s over TRAIN dispatch time (the device-mega driver's
         # accounting — evals/ckpt are itemized in timings, not folded into
         # the sustained number)
-        queries_per_sec=done * cfg.batch_size / max(t_train, 1e-9),
+        queries_per_sec=(done * cfg.batch_size / t_train) if t_train
+        else 0.0,
         timings={"train_s": t_train, "eval_s": t_eval,
                  "wall_s": dt},
     )
