@@ -47,6 +47,13 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["mean", "pool"])
     p.add_argument("--neighbor_samples", type=int, default=8,
                    help="sampled neighbors per relation for depth>0")
+    p.add_argument("--opt", type=str, default="adam",
+                   choices=["adam", "sgd"],
+                   help="optimizer (the reference's --opt flag): adam "
+                        "(default, the paper's choice) or sgd. "
+                        "--storage_dtype bfloat16 requires adam (the "
+                        "stochastic-rounding fused kernel implements the "
+                        "Adam update)")
     p.add_argument("--lr", type=float, default=0.01)
     p.add_argument("--batch_size", type=int, default=512)
     p.add_argument("--max_iter", type=int, default=10000)
@@ -150,6 +157,9 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.bf16:
         args.compute_dtype = args.storage_dtype = "bfloat16"
+    if args.storage_dtype != "float32" and args.opt != "adam":
+        raise SystemExit("--storage_dtype bfloat16 requires --opt adam "
+                         "(the SR fused kernel is an Adam update)")
     if args.storage_dtype != "float32" and args.pipeline not in (
             "device", "onthefly", "stream"):
         raise SystemExit(
@@ -235,6 +245,10 @@ def main(argv=None):
         from graphqembed_tpu.models.encoders import NeighborTables
         tables = NeighborTables.build(graph, sample_size=args.neighbor_samples,
                                       seed=cfg.seed)
+    optimizer = None   # None = each driver's default (Adam; SR-fused for bf16)
+    if args.opt == "sgd":
+        import optax
+        optimizer = optax.sgd(cfg.lr)
     mgr = None
     if args.ckpt_every or args.resume:
         mgr = CheckpointManager(model_dir / "ckpts", keep=3)
@@ -249,6 +263,7 @@ def main(argv=None):
             cfg, graph.schema, params, Path(args.data_dir) / "train_queries",
             val_queries=val, neighbor_tables=tables, ckpt_manager=mgr,
             ckpt_every=args.ckpt_every, resume=args.resume,
+            optimizer=optimizer,
             log=lambda step, s, l: logging.info(
                 "step %d [%s] loss %.4f", step, s, l))
     elif args.pipeline == "onthefly":
@@ -263,6 +278,7 @@ def main(argv=None):
             cfg, graph.schema, params, dg, val_queries=val,
             steps_per=steps_per, neighbor_tables=tables, ckpt_manager=mgr,
             ckpt_every=args.ckpt_every, resume=args.resume, mesh=mesh,
+            optimizer=optimizer,
             log=lambda step, s, l: (
                 logging.info("step %d [%s] loss %.4f", step, s, l),
                 writer.write(step, **{f"loss/{s}": l}))[0])
@@ -275,7 +291,7 @@ def main(argv=None):
         steps_per = dispatch_steps_per(args.max_iter)
         res = run_train_device_mega(
             cfg, graph.schema, params, data, val_queries=val,
-            steps_per=steps_per,
+            steps_per=steps_per, optimizer=optimizer,
             neighbor_tables=tables, ckpt_manager=mgr,
             ckpt_every=args.ckpt_every, resume=args.resume, mesh=mesh,
             log=lambda step, s, l: (
@@ -285,7 +301,7 @@ def main(argv=None):
         res = run_train(cfg, graph.schema, params, train, val_queries=val,
                         neighbor_tables=tables, ckpt_manager=mgr,
                         ckpt_every=args.ckpt_every, resume=args.resume,
-                        metrics=writer)
+                        metrics=writer, optimizer=optimizer)
     writer.close()
 
     metrics = {

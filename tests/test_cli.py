@@ -77,3 +77,26 @@ def test_onthefly_cli_e2e(tmp_path):
     metrics = json.loads((md / "metrics.json").read_text())
     assert metrics["steps"] >= 80
     assert metrics["best_val_auc"] > 0.3
+
+
+def test_opt_flag(tmp_path):
+    """--opt sgd (the reference's optimizer flag) reaches all pipelines; the
+    bf16-storage + sgd combination is rejected (SR kernel is Adam-only)."""
+    import json
+
+    import pytest
+
+    from graphqembed_tpu.cli.train import main
+
+    md = tmp_path / "run"
+    rc = main([
+        "--synthetic", "--synthetic_scale", "0.3", "--n_train_queries", "40",
+        "--n_val_queries", "10", "--embed_dim", "16", "--batch_size", "16",
+        "--max_iter", "30", "--max_burn_in", "10", "--val_every", "1000",
+        "--pipeline", "device", "--opt", "sgd", "--model_dir", str(md),
+    ])
+    assert rc == 0
+    assert json.loads((md / "metrics.json").read_text())["steps"] >= 30
+    with pytest.raises(SystemExit, match="adam"):
+        main(["--synthetic", "--pipeline", "device",
+              "--storage_dtype", "bfloat16", "--opt", "sgd"])
