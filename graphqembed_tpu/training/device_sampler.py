@@ -6,18 +6,20 @@ edge-partitioned adjacency", with "on-device negative resampling
 The exact offline sampler (data/sampling.py, native/) remains the source of
 train/eval query sets with exact negatives; this module generates training
 batches for ALL 7 STRUCTURES (1p/2p/3p chains, 2i/3i intersections, ip/pi
-mixed) entirely on device from the padded per-relation neighbor tables — no
-host in the loop, unlimited fresh samples. Negatives are type-range
-approximations (uniform same-mode, rejected only against the sampled
-positive), the standard large-scale approximation; exact-negative training
-stays available via the pools. make_onthefly_train_step composes this into
-a pool-free scan mega-step (sampling + training fused in one compiled
-program); run_train_onthefly is the full-protocol driver behind
-`gqe-train --pipeline onthefly`.
-
-Device graph encoding (from models/encoders.py::NeighborTables):
-  neighbors int32 [R, max_from, S] (−1 pad), rel_from_lo/rel_to_lo/rel_to_hi
-  int32 [R], live relation ids int32 [Rl].
+mixed) entirely on device — no host in the loop, unlimited fresh samples.
+r05 substrate: an EXACT flat-CSR edge list (DeviceGraph.edges/node_ptr/
+node_rel_cnt — every edge, rejection-free one-randint picks; the S-sampled
+per-relation neighbor tables remain only for hard-negative membership
+tests, where a subset is inherent). The pick DISTRIBUTION is a measured
+config (GQEConfig.onthefly_anchor_dist; default "rel" = the offline C++
+sampler's relation-uniform-first schedule — RESULTS_onthefly_quality.md).
+Negatives are type-range approximations (uniform same-mode, rejected only
+against the sampled positive), the standard large-scale approximation;
+exact-negative training stays available via the pools.
+make_onthefly_train_step composes this into a pool-free scan mega-step
+(sampling + training fused in one compiled program; mesh= for the GSPMD
+multi-chip form); run_train_onthefly is the full-protocol driver behind
+`gqe-train --pipeline onthefly [--mesh N]`.
 """
 
 from __future__ import annotations
